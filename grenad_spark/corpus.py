@@ -1,0 +1,60 @@
+"""Corpus loading + canonical Common-Crawl-style shape.
+
+input_hint shape: (url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string). Driver testdata ships (doc_id, text, lang, source, n_chars);
+`to_cc_shape` derives the canonical columns deterministically so both shapes
+share one token stream, and `extract_text` is the deterministic extractor whose
+output must be byte-identical per url (FIXTURES.md §1).
+
+Scale note: `html` is ONLY touched by `extract_text`; every index-build path
+selects (doc_id, text) first so Catalyst prunes the binary column out of the
+parquet scan — at 100 TB the html bytes dominate the table and must never be
+read by the build (verified in tests via the optimized plan's ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = "2024-01-01 00:00:00"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the driver-provided documents table (doc_id, text, lang, source, n_chars)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def to_cc_shape(docs: DataFrame) -> DataFrame:
+    """Deterministically lift testdata docs to the canonical CC shape.
+
+    url is unique per doc; warc_ts = EPOCH + doc_id seconds; html wraps text so
+    the extractor round-trips byte-identically.
+    """
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit(EPOCH)) + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+def extract_text(cc: DataFrame) -> DataFrame:
+    """The deterministic reference extractor: html bytes -> text.
+
+    Pure JVM-side column expressions (decode + strip wrapper tags) so the
+    per-url output is bit-reproducible across runs, partitionings, and cluster
+    sizes — the byte-identical-per-url invariant from BASELINE.json input_hint.
+    """
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.decode(F.col("html"), "UTF-8"), r"^<html><body>", ""),
+        r"</body></html>$",
+        "",
+    )
+    return cc.withColumn("extracted_text", stripped)

@@ -1,0 +1,145 @@
+"""BM25 scoring — exhaustive DataFrame path (the correctness anchor).
+
+Formula (Robertson/Lucene-style, the one Meilisearch-adjacent engines use):
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,q)= Σ_{t ∈ unique(q)} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+with k1=1.2, b=0.75, ties broken by doc_id ascending.
+
+This path is 100% JVM-side DataFrame ops (broadcast-join the query terms into
+the posting stream, one shuffle to agg per (query_id, doc_id), window top-k).
+It is both the DuckDB-oracle-matched query and the ground truth that the
+block-max WAND path (query/wand.py) must reproduce rank-identically.
+
+Scale: the broadcast side is |query terms| rows; the posting stream is filtered
+to those terms BEFORE the shuffle, so the agg shuffle carries only candidate
+(query, doc) pairs — at 10^12 docs this is the standard "term-at-a-time
+scatter" plan, and WAND replaces it only to cut the scoring work, not the
+shape. Scores are rounded to 4 decimals ONLY for cross-engine comparison;
+ranking uses the rounded score + doc_id so Spark and DuckDB order identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf, term_doc_tf
+from grenad_spark.index.stats import corpus_stats, doc_lengths, term_stats
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 4
+
+# (query_id, query) — FIXTURES.md §3 queries_ref: head terms, the rare term
+# ('dup'), multi-term AND/OR mixes, a long tail query.
+REFERENCE_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window"),
+    (2, "merge sort table"),
+    (3, "dup"),
+    (4, "the fast join"),
+    (5, "hash join order"),
+    (6, "key value stream"),
+    (7, "dup spark"),
+    (8, "query vector scan"),
+    (9, "a"),
+    (10, "big data batch stream"),
+    (11, "filter column row"),
+    (12, "slow customer line group agg small part fast"),
+]
+DEFAULT_K = 10
+
+
+def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term) with unique terms per query (BM25 ignores query-side tf)."""
+    q = spark.createDataFrame(queries, "query_id int, query string")
+    return q.select(
+        "query_id", F.explode(F.split(F.lower("query"), TOKEN_SPLIT_RE)).alias("term")
+    ).filter(F.col("term") != "").distinct()
+
+
+def score_expr(tf, df, dl, n_docs, avgdl):
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+    tf_part = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / F.lit(float(avgdl))))
+    return idf * tf_part
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Exhaustive BM25 top-k: (query_id, doc_id, score) rounded for parity."""
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    tdt = term_doc_tf(docs)
+    dl = doc_lengths(docs)
+    n_docs, avgdl = corpus_stats(dl).first()
+    ts = term_stats(tdt)
+    qt = query_terms_df(spark, queries)
+
+    per_term = (
+        tdt.join(F.broadcast(qt), "term")
+        .join(F.broadcast(ts), "term")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            score_expr(
+                F.col("tf").cast("double"), F.col("df").cast("double"),
+                F.col("dl").cast("double"), n_docs, avgdl,
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_queries_values(queries: list[tuple[int, str]] | None = None) -> str:
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    rows = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    return f"(VALUES {rows}) AS q(query_id, query)"
+
+
+def bm25_oracle_sql(queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K) -> str:
+    """DuckDB SQL computing the identical result (same formula, rounding, ties)."""
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+        FROM {sql_queries_values(queries)})
+  WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
