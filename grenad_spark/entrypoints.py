@@ -199,3 +199,51 @@ def q_first_last_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bm25_topk", bm25.bm25_oracle_sql())
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk(spark, _docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Index-backed search: the full build pipeline (shard → encode → segment
+# parquet → pruned scan → decode/WAND) gated by the SAME BM25 oracle — this
+# checks the entire Sorter/Writer/Merger/Reader chain end to end.
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def build_or_get_index(spark: SparkSession, sf_dir: str):
+    from grenad_spark.index.build import build_index
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, _docs(spark, sf_dir), f"/tmp/grenad_index{key}", n_shards=4, overwrite=True
+        )
+    return _INDEX_CACHE[key]
+
+
+@register("bm25_topk_indexed", bm25.bm25_oracle_sql())
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.query.search import search_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="exhaustive")
+
+
+@register("bm25_topk_wand", bm25.bm25_oracle_sql())
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.query.search import search_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand")
+
+
+@register(
+    "term_dict",
+    "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+    f"FROM ({sql_term_doc_tf('documents')}) GROUP BY term",
+)
+def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term_dict read back from the persisted index must equal the direct
+    aggregation — validates the encode→segment→aggregate roundtrip."""
+    idx = build_or_get_index(spark, sf_dir)
+    return idx.term_dict(spark).select("term", "df", "cf")

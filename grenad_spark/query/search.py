@@ -1,0 +1,317 @@
+"""Index-backed BM25 search: exhaustive and block-max WAND paths.
+
+Both paths answer top-k from the persisted segment table (never from raw
+documents); both are shard-parallel:
+
+  segments.filter(term ∈ query_terms)        [parquet min/max pruning — the
+                                              index-footer descent of
+                                              src/reader/reader_cursor.rs:291-331
+                                              done by the storage layer]
+    → per (query_id, shard) group            [each shard = complete sub-index
+                                              for its doc range]
+    → score inside an Arrow-batched UDF      [exhaustive: vectorized decode +
+                                              bincount; wand: block-max
+                                              cursor skipping, the
+                                              BlockCursor::move_on_key_gte
+                                              analog of src/block.rs:214-255]
+    → per-shard top-k → global top-k         [ORDER BY score LIMIT k on k·S
+                                              rows, driver-tiny]
+
+Scale: the shuffle after the pruned scan carries only query-term block rows
+(compressed); per-group memory is bounded by docs_per_shard. idf/UB constants
+ride in via the grouping DataFrame (broadcast-joined), not closures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
+from grenad_spark.functions.varbyte import decode_block, decode_block_rows
+from grenad_spark.index.build import IndexHandle
+from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+
+def _tfpart(tf, dl, avgdl):
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _idf(n_docs: float, df):
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _tokenize_queries(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    import re
+
+    out = []
+    for qid, q in queries:
+        seen = set()
+        for t in re.split(TOKEN_SPLIT_RE, q.lower()):
+            if t and t not in seen:
+                seen.add(t)
+                out.append((qid, t))
+    return out
+
+
+def _query_blocks(
+    spark: SparkSession, index: IndexHandle, queries: list[tuple[int, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """Pruned (query_id × matching block rows) with idf attached.
+
+    Returns (blocks_df, qterms_df). df (hence idf) comes from term_dict —
+    a broadcast join of at most |query terms| rows.
+    """
+    qt = _tokenize_queries(queries)
+    qterms = spark.createDataFrame(qt, "query_id int, term string")
+    terms = sorted({t for _, t in qt})
+    seg = index.segments(spark).filter(F.col("term").isin(terms))
+    td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
+    n_docs = float(index.n_docs)
+    blocks = (
+        seg.join(F.broadcast(td), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+    )
+    return blocks, qterms
+
+
+_OUT_SCHEMA = "query_id int, doc_id long, score double"
+
+
+def search_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    """Top-k BM25 over the index. mode: 'exhaustive' | 'wand'.
+
+    Both modes return identical results (asserted in tests/test_search.py);
+    wand skips decoding blocks whose upper bound can't reach the running
+    top-k threshold.
+    """
+    blocks, _ = _query_blocks(spark, index, queries)
+    avgdl = float(index.avgdl)
+    kk = int(k)
+
+    if mode == "exhaustive":
+        apply_fn = _make_exhaustive(avgdl, kk)
+    elif mode == "wand":
+        apply_fn = _make_wand(avgdl, kk)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(apply_fn, _OUT_SCHEMA)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+
+
+def _topk_rows(qid: int, doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    if doc_ids.size > k:
+        # partial select then exact ordering of the k winners
+        idx = np.argpartition(-scores, k - 1)[:k]
+    else:
+        idx = np.arange(doc_ids.size)
+    order = np.lexsort((doc_ids[idx], -scores[idx]))
+    idx = idx[order]
+    return pd.DataFrame(
+        {"query_id": qid, "doc_id": doc_ids[idx], "score": scores[idx]}
+    )
+
+
+def _make_exhaustive(avgdl: float, k: int):
+    """Fully vectorized scatter-add scoring of one (query, shard) group."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        # one vectorized decode across ALL terms' blocks, then per-term
+        # segment-aware scoring via np.add.at on dense doc offsets
+        doc_parts, score_parts = [], []
+        for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            d, tf, dl = decode_block_rows(list(g["payload"]), g["n"].to_numpy())
+            s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            doc_parts.append(d)
+            score_parts.append(s)
+        if not doc_parts:
+            return _empty_out()
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.zeros(uniq.size)
+        np.add.at(agg, inv, scores)
+        return _topk_rows(qid, uniq, agg, k)
+
+    return fn
+
+
+def _make_wand(avgdl: float, k: int):
+    """Block-max WAND over one (query, shard) group.
+
+    Doc-at-a-time pivoting with per-term block cursors; a block is decoded
+    only when the pivot lands in it AND the sum of block upper bounds at the
+    pivot exceeds the running threshold θ. Block seek = np.searchsorted over
+    the block last_doc array (the sparse-footer binary search of
+    src/block.rs:214-255).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        # per-term cursor state
+        terms = []
+        for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            g = g.sort_values("first_doc", kind="stable")
+            idf = float(idf)
+            ub_blocks = idf * _tfpart(
+                g["max_tf"].to_numpy().astype(np.float64),
+                g["min_dl"].to_numpy().astype(np.float64),
+                avgdl,
+            )
+            terms.append(
+                {
+                    "idf": idf,
+                    "first": g["first_doc"].to_numpy(),
+                    "last": g["last_doc"].to_numpy(),
+                    "payloads": list(g["payload"]),
+                    "ub_blocks": ub_blocks,
+                    "ub_term": float(ub_blocks.max()),
+                    "bi": 0,          # current block index
+                    "docs": None,      # decoded current block
+                    "scores": None,
+                    "pi": 0,           # position within decoded block
+                    "cur": None,       # current doc id (None = before first)
+                    "exhausted": False,
+                }
+            )
+        if not terms:
+            return _empty_out()
+
+        def load_block(t, bi):
+            d, tf, dl = decode_block(t["payloads"][bi])
+            t["bi"] = bi
+            t["docs"] = d
+            t["scores"] = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            t["pi"] = 0
+            t["cur"] = int(d[0])
+
+        def next_geq(t, target):
+            """Advance cursor to first doc >= target (grenad
+            move_on_key_greater_than_or_equal_to, reader_cursor.rs:184-209)."""
+            if t["exhausted"]:
+                return
+            bi = int(np.searchsorted(t["last"], target))
+            if bi >= len(t["payloads"]):
+                t["exhausted"] = True
+                t["cur"] = None
+                return
+            if t["docs"] is None or bi != t["bi"]:
+                load_block(t, bi)
+            pi = int(np.searchsorted(t["docs"], target))
+            if pi >= t["docs"].size:  # target in gap after this block
+                if bi + 1 >= len(t["payloads"]):
+                    t["exhausted"] = True
+                    t["cur"] = None
+                    return
+                load_block(t, bi + 1)
+                pi = 0
+            t["pi"] = pi
+            t["cur"] = int(t["docs"][pi])
+
+        for t in terms:
+            next_geq(t, 0)
+
+        heap: list[tuple[float, int]] = []  # (score, doc_id) min-heap of top-k
+        import heapq
+
+        theta = -1.0
+        while True:
+            live = [t for t in terms if not t["exhausted"]]
+            if not live:
+                break
+            live.sort(key=lambda t: t["cur"])
+            # find pivot: smallest doc such that Σ ub_term of terms with
+            # cur <= doc can beat θ
+            acc = 0.0
+            pivot_idx = None
+            for i, t in enumerate(live):
+                acc += t["ub_term"]
+                if acc > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break  # no doc can beat θ
+            pivot = live[pivot_idx]["cur"]
+            if live[0]["cur"] == pivot:
+                # block-max refinement: exact block UBs at the pivot, over
+                # EVERY term whose cursor sits at the pivot (terms beyond
+                # pivot_idx may also be at the pivot and contribute score —
+                # omitting them under-bounds and wrongly skips docs)
+                at_pivot = [t for t in live if t["cur"] == pivot]
+                block_ub = 0.0
+                for t in at_pivot:
+                    bi = int(np.searchsorted(t["last"], pivot))
+                    if bi < len(t["payloads"]) and t["first"][bi] <= pivot:
+                        block_ub += float(t["ub_blocks"][bi])
+                    else:
+                        block_ub += t["ub_term"]  # conservative
+                if block_ub > theta:
+                    score = 0.0
+                    for t in live:
+                        if t["cur"] == pivot:
+                            if t["docs"] is None:
+                                load_block(t, t["bi"])
+                            # ensure cursor decoded at pivot position
+                            pi = t["pi"]
+                            score += float(t["scores"][pi])
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot))
+                        if len(heap) == k:
+                            theta = heap[0][0]
+                    elif score > heap[0][0] or (
+                        score == heap[0][0] and -pivot > heap[0][1]
+                    ):
+                        heapq.heapreplace(heap, (score, -pivot))
+                        theta = heap[0][0]
+                for t in live:
+                    if t["cur"] == pivot:
+                        next_geq(t, pivot + 1)
+            else:
+                # advance all pre-pivot cursors to the pivot
+                for t in live[:pivot_idx]:
+                    if t["cur"] < pivot:
+                        next_geq(t, pivot)
+        if not heap:
+            return _empty_out()
+        docs = np.array([-d for _, d in heap], dtype=np.int64)
+        scores = np.array([s for s, _ in heap])
+        return _topk_rows(qid, docs, scores, k)
+
+    return fn

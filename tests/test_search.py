@@ -1,0 +1,110 @@
+"""End-to-end index + query tests: rank-identity across all three BM25 paths,
+shard-count invariance (salting correctness, FIXTURES.md skew_corpus intent),
+checkpoint resume, and pure-Python BM25 oracle agreement."""
+
+import math
+import re
+from collections import Counter
+
+from grenad_spark.index.build import build_index
+from grenad_spark.query.bm25 import (
+    B,
+    DEFAULT_K,
+    K1,
+    REFERENCE_QUERIES,
+    SCORE_DECIMALS,
+    bm25_topk,
+)
+from grenad_spark.query.search import search_topk
+
+
+def _norm(df):
+    return sorted(map(tuple, df.toPandas()[["query_id", "doc_id", "score"]].values.tolist()))
+
+
+def python_bm25_oracle(rows, queries, k=DEFAULT_K):
+    """From-scratch BM25 on driver-side rows — the SURVEY §5 reference
+    oracle, no Spark/DuckDB involved."""
+    docs = {r["doc_id"]: [t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t] for r in rows}
+    n = len(docs)
+    dl = {d: len(ts) for d, ts in docs.items()}
+    avgdl = sum(dl.values()) / n
+    df = Counter()
+    tf = {d: Counter(ts) for d, ts in docs.items()}
+    for d, ts in tf.items():
+        for t in ts:
+            df[t] += 1
+    out = []
+    for qid, q in queries:
+        terms = set(t for t in re.split("[^a-z0-9]+", q.lower()) if t)
+        scored = []
+        for d in docs:
+            s = 0.0
+            for t in terms:
+                if tf[d][t]:
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * tf[d][t] * (K1 + 1) / (tf[d][t] + K1 * (1 - B + B * dl[d] / avgdl))
+            if s > 0:
+                scored.append((round(s, SCORE_DECIMALS), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out.extend((qid, d, s) for s, d in scored[:k])
+    return sorted(out)
+
+
+def test_three_paths_rank_identical(spark, docs_small, index_small):
+    ref = _norm(bm25_topk(spark, docs_small))
+    ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="exhaustive"))
+    wd = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="wand"))
+    assert ex == ref
+    assert wd == ref
+
+
+def test_python_oracle_agrees(spark, docs_small, index_small):
+    rows = [r.asDict() for r in docs_small.select("doc_id", "text").collect()]
+    oracle = python_bm25_oracle(rows, REFERENCE_QUERIES)
+    wd = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="wand"))
+    assert wd == oracle
+
+
+def test_shard_count_invariance(spark, docs_small, tmp_path):
+    # the salted/sharded path must produce identical results to a 1-shard
+    # build (skew_corpus fixture intent: salted == unsalted)
+    idx1 = build_index(spark, docs_small, str(tmp_path / "i1"), n_shards=1)
+    idx7 = build_index(spark, docs_small, str(tmp_path / "i7"), n_shards=7)
+    r1 = _norm(search_topk(spark, idx1, REFERENCE_QUERIES, mode="wand"))
+    r7 = _norm(search_topk(spark, idx7, REFERENCE_QUERIES, mode="wand"))
+    assert r1 == r7
+    # term_dict identical too
+    t1 = sorted(map(tuple, idx1.term_dict(spark).select("term", "df", "cf").collect()))
+    t7 = sorted(map(tuple, idx7.term_dict(spark).select("term", "df", "cf").collect()))
+    assert t1 == t7
+
+
+def test_checkpoint_resume(spark, docs_small, tmp_path):
+    # build once, delete term_dict + manifest, rebuild → only missing stages
+    # run; segments untouched (byte-identical resumed build, north_rule)
+    import os
+    import shutil
+
+    out = str(tmp_path / "resume")
+    idx = build_index(spark, docs_small, out, n_shards=2)
+    seg_files = sorted(os.listdir(os.path.join(out, "segments")))
+    seg_mtime = os.path.getmtime(os.path.join(out, "segments", "_SUCCESS"))
+    shutil.rmtree(os.path.join(out, "term_dict"))
+    os.remove(os.path.join(out, "manifest.json"))
+    idx2 = build_index(spark, docs_small, out, n_shards=2)
+    assert sorted(os.listdir(os.path.join(out, "segments"))) == seg_files
+    assert os.path.getmtime(os.path.join(out, "segments", "_SUCCESS")) == seg_mtime
+    assert idx2.manifest["n_docs"] == idx.manifest["n_docs"]
+    r = _norm(search_topk(spark, idx2, REFERENCE_QUERIES, mode="wand"))
+    assert len(r) > 0
+
+
+def test_point_lookup_prunes_segments(spark, index_small):
+    # Catalyst must push the term filter into the parquet scan (the
+    # index-footer descent analog) — check PushedFilters in the plan
+    from pyspark.sql import functions as F
+
+    seg = index_small.segments(spark).filter(F.col("term") == "spark")
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "spark" in plan
