@@ -237,6 +237,103 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand")
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+from grenad_spark.operators import ann, dedup  # noqa: E402
+from grenad_spark.functions import textstats  # noqa: E402
+
+
+@register("dedup_exact_groups", dedup.SQL_EXACT_DEDUP)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register("dedup_exact_keep_first", dedup.SQL_EXACT_KEEP_FIRST)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_keep_first(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", dedup.sql_ngram_jaccard(0.8))
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8)
+
+
+@register("dedup_minhash_lsh", dedup.sql_minhash_lsh(0.5))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.5)
+
+
+@register("dedup_simhash", dedup.sql_simhash())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+@register("dedup_embedding_cosine", dedup.sql_embedding_dups(0.45))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.45 chosen to yield a nonzero pair set on the synthetic embeddings
+    # (max pairwise cosine there is ~0.51)
+    from grenad_spark.corpus import load_embeddings
+
+    return dedup.embedding_dup_pairs(load_embeddings(spark, sf_dir), 0.45)
+
+
+@register("dedup_prefix_groups", dedup.sql_prefix_dedup(8))
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_dedup_groups(_docs(spark, sf_dir), 8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+@register("ann_bruteforce_topk", ann.sql_brute_force_topk())
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.corpus import load_embeddings
+
+    return ann.brute_force_topk(load_embeddings(spark, sf_dir))
+
+
+@register("ann_lsh_topk")  # seeded hyperplanes are engine-local → rows-only;
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall vs brute force asserted in tests/test_ann.py
+    from grenad_spark.corpus import load_embeddings
+
+    return ann.lsh_topk(load_embeddings(spark, sf_dir))
+
+
+@register("ann_ivf_topk")  # rows-only; recall asserted in tests/test_ann.py
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.corpus import load_embeddings
+
+    return ann.ivf_topk(load_embeddings(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register("text_token_count", textstats.SQL_TOKEN_COUNT)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+@register("text_quality_score", textstats.sql_quality_score())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+@register("text_lang_id", textstats.sql_lang_id())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@register("text_fingerprint", textstats.SQL_FINGERPRINT)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
 @register(
     "term_dict",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

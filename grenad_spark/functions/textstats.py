@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All JVM-side column expressions (no UDFs) with value-exact DuckDB oracles —
+each op is a narrow projection over `text`, so at scale it runs inside the
+same scan as tokenization with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
+
+# deterministic stopword lists for the n-gram/stopword language heuristic.
+# Tiny by design: the fixture corpus vocabulary is synthetic; real deployments
+# swap in real lists — the operator shape (scores + argmax w/ tiebreak) stands.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "de": ("der", "die", "und", "das", "ein", "zu"),
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.size(tokens_col("text")).cast("int").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_RE}'), x -> x <> ''))::INT AS n_tokens FROM documents"
+)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, quality).
+
+    quality = 0.5·clamp(n_tokens/100) + 0.3·stopword_ratio_score +
+              0.2·mean_token_len_score — a deterministic, explainable filter
+    signal (length / stopword-density heuristics standard in web pipelines).
+    """
+    toks = tokens_col("text")
+    en = LANG_STOPWORDS["en"]
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    tl_score = F.when((mean_len >= 3.0) & (mean_len <= 8.0), 1.0).otherwise(0.5)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.5 * len_score + 0.3 * stop_ratio + 0.2 * tl_score, 6).alias("quality"),
+    )
+
+
+def sql_quality_score() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN ({en}))) AS n_stop,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_len
+  FROM t
+)
+SELECT doc_id, n_chars::INT AS n_chars, n_tok::INT AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round(0.5 * least(n_tok::DOUBLE / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END)
+             + 0.2 * (CASE WHEN mean_len >= 3.0 AND mean_len <= 8.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM m
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — stopword-hit scoring with
+    deterministic tiebreak (score desc, lang asc)."""
+    toks = tokens_col("text")
+    scores = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(toks, lambda t: t.isin(*ws)))).cast("long").alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_sort(scores)[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).cast("int").alias("lang_score"),
+    )
+
+
+def sql_lang_id() -> str:
+    cases = []
+    for lang, ws in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        cases.append(f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}")
+    langs = sorted(LANG_STOPWORDS)
+    # argmax with (score desc, lang asc) tiebreak via greatest + first match
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {', '.join(cases)} FROM t),
+g AS (SELECT *, greatest({', '.join('s_' + lg for lg in langs)}) AS best FROM s)
+SELECT doc_id, {pred} AS pred_lang, best::INT AS lang_score FROM g
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) canonical fingerprint: md5 over the sorted distinct token
+    set — the 'fingerprint' clustering method for near-identical docs that
+    differ only in token order/repetition."""
+    toks = tokens_col("text")
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select("doc_id", F.md5(canon).alias("fp"))
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+    f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''))), ' ')) AS fp "
+    "FROM documents"
+)

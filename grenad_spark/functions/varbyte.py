@@ -97,10 +97,10 @@ def _interleave(doc_ids: np.ndarray, cols: list[np.ndarray]) -> np.ndarray:
 
 def encode_posting_blocks(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
-) -> list[tuple[int, int, int, int, int, bytes]]:
+) -> list[tuple[int, int, int, int, int, int, bytes]]:
     """Encode one term's postings as independent per-block payloads.
 
-    Returns [(n, first_doc, last_doc, max_tf, min_dl, payload), ...] in doc
+    Returns [(n, first_doc, last_doc, max_tf, min_dl, sum_tf, payload), ...] in doc
     order. max_tf + min_dl give the block-max WAND upper bound: the BM25
     tf-part is increasing in tf and decreasing in dl, so
     score_ub(block) = idf * tfpart(max_tf, min_dl) dominates every doc in the
@@ -126,6 +126,7 @@ def encode_posting_blocks(
     bend = np.append(bstart[1:], byte_cum[-1])
     max_tf = np.maximum.reduceat(tfs, starts)
     min_dl = np.minimum.reduceat(dls, starts)
+    sum_tf = np.add.reduceat(tfs, starts)
     return [
         (
             int(ends[i] - starts[i]),
@@ -133,6 +134,7 @@ def encode_posting_blocks(
             int(doc_ids[ends[i] - 1]),
             int(max_tf[i]),
             int(min_dl[i]),
+            int(sum_tf[i]),
             payload[int(bstart[i]) : int(bend[i])],
         )
         for i in range(starts.size)
@@ -186,7 +188,7 @@ def decode_block_list(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray, np
     )
 
 
-def merge_posting_blocks(payload_lists: list[list[bytes]]) -> list[tuple[int, int, int, int, int, bytes]]:
+def merge_posting_blocks(payload_lists: list[list[bytes]]) -> list[tuple[int, int, int, int, int, int, bytes]]:
     """MergeFunction for postings across segment generations (MergerIter's
     one-merge-call-per-key, src/merger.rs:173-186): decode every generation,
     merge by doc_id — LAST generation wins on doc collision (a re-crawled

@@ -68,15 +68,13 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("doc_id", kind="stable")
     term = pdf["term"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
-    tf = pdf["tf"].to_numpy()
-    blocks = encode_posting_blocks(pdf["doc_id"].to_numpy(), tf, pdf["dl"].to_numpy())
-    rows = []
-    pos = 0
-    for n, first, last, max_tf, min_dl, payload in blocks:
-        rows.append(
-            (term, shard, 0, n, first, last, max_tf, min_dl, int(tf[pos : pos + n].sum()), payload)
-        )
-        pos += n
+    blocks = encode_posting_blocks(
+        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
+    )
+    rows = [
+        (term, shard, 0, n, first, last, max_tf, min_dl, sum_tf, payload)
+        for n, first, last, max_tf, min_dl, sum_tf, payload in blocks
+    ]
     return pd.DataFrame(
         rows,
         columns=[
@@ -87,11 +85,16 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def tokens_with_dl(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, dl) — tf stream with the doc length carried along."""
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("term"), F.size(tokens_col("text")).alias("dl")
-    )
-    return toks.groupBy("term", "doc_id", "dl").agg(F.count("*").cast("int").alias("tf"))
+    """(term, doc_id, tf, dl) — tf stream with the doc length carried along.
+
+    The token array is materialized in a projection BELOW the explode so the
+    regex split runs once per document; putting size(split(...)) in the same
+    select as the explode would re-evaluate it once per exploded row (a ~50×
+    regex blow-up measured at sf0.1×16).
+    """
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    exploded = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    return exploded.groupBy("term", "doc_id", "dl").agg(F.count("*").cast("int").alias("tf"))
 
 
 def build_segments(
@@ -141,6 +144,7 @@ def build_index(
     seg_path = os.path.join(out_dir, "segments")
     dict_path = os.path.join(out_dir, "term_dict")
     stats_path = os.path.join(out_dir, "corpus_stats")
+    docs_path = os.path.join(out_dir, "docs")
     manifest_path = os.path.join(out_dir, "manifest.json")
     partitions = partitions or spark.sparkContext.defaultParallelism
     docs = docs.select("doc_id", "text")
@@ -161,6 +165,18 @@ def build_index(
     if n_shards is None:
         n_shards = max(1, -(-(max_doc + 1) // docs_per_shard))
     doc_space = max_doc + 1
+
+    # stage 1b: doc membership table (doc_id, dl) — BM25 norms + the
+    # "which docs does this generation contain" record that compaction's
+    # newest-generation-wins tombstone semantics require
+    if not _done(docs_path):
+        ts = time.time()
+        from grenad_spark.index.stats import doc_lengths
+
+        doc_lengths(docs).repartition(max(1, partitions // 8)).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        stage_secs["docs"] = time.time() - ts
 
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
@@ -226,3 +242,7 @@ class IndexHandle:
 
     def term_dict(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "term_dict"))
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, dl) membership/norms table."""
+        return spark.read.parquet(os.path.join(self.path, "docs"))

@@ -1,0 +1,346 @@
+"""Deduplication operators over the documents table.
+
+Five dedup families, all expressed as declarative DataFrame programs so
+Catalyst handles pushdown/pruning; the only UDF-free exception is nothing —
+every operator here is 100% JVM-side (built-in functions), which is what
+makes them viable at 10^12 docs:
+
+- exact:        hash-groupBy on md5(text) — one shuffle, map-side partial agg
+- ngram_jaccard: shingle set self-join — shuffle keyed on shingle; frequent-
+                 shingle skew is bounded by dropping top-percentile shingles
+                 (standard web-dedup practice) — not needed at test scale
+- minhash_lsh:  H md5-derived hash fns → per-band bucket join — candidate
+                 pairs only, verified by true Jaccard
+- simhash:      32-bit fingerprint via per-bit weighted majority — 32 agg
+                 expressions, no row explosion
+- embedding:    cosine over array<float> via zip_with/aggregate
+
+Cross-engine hashing: h_i(s) = int(md5(i || ':' || s)[:8], 16) — identical in
+Spark (conv/substring/md5) and DuckDB (('0x'||substr(md5,1,8))::BIGINT), so
+every operator has a value-exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
+
+NGRAM_N = 3
+MINHASH_FNS = 12
+LSH_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+SIMHASH_BITS = 32
+
+
+def md5_hash64(col: Column, salt: int | None = None) -> Column:
+    """First 8 hex chars of md5 as an unsigned int — engine-portable."""
+    inp = col if salt is None else F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(inp), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_hash64(expr: str, salt: int | None = None) -> str:
+    inp = expr if salt is None else f"'{salt}:' || {expr}"
+    return f"('0x' || substr(md5({inp}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, rep_doc, n_dups) for every duplicated text."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count("*").cast("long").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_EXACT_DEDUP = (
+    "SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_dups "
+    "FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+)
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Surviving doc_ids after exact dedup (keep lowest doc_id per text)."""
+    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+
+SQL_EXACT_KEEP_FIRST = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def prefix_dedup_groups(docs: DataFrame, n_prefix: int = 8) -> DataFrame:
+    """Exact dedup on the first n_prefix tokens — catches boilerplate-headed
+    near-dups; same hash-groupBy shape as exact dedup but on a canonicalized
+    key (the corpus has no full-text dups, so this exercises nonzero groups)."""
+    toks = tokens_col("text")
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, n_prefix)))
+    return (
+        docs.groupBy(key.alias("prefix_hash"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count("*").cast("long").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def sql_prefix_dedup(n_prefix: int = 8) -> str:
+    return f"""
+SELECT md5(array_to_string(toks[1:{n_prefix}], ' ')) AS prefix_hash,
+       min(doc_id) AS rep_doc, count(*)::BIGINT AS n_dups
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+      FROM documents)
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, entirely JVM-side."""
+    toks = tokens_col("text")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def sql_shingles(n: int = NGRAM_N, table: str = "documents") -> str:
+    return f"""
+SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {n}], ' ') AS shingle
+FROM (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM {table}
+), unnest(generate_series(0, len(toks) - {n})) AS t(i)
+WHERE len(toks) >= {n}
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM_N) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with J ≥ threshold.
+
+    Shuffle keyed on shingle; |pairs| bounded by co-occurrence. At web scale
+    the top-percentile hottest shingles are dropped first (boilerplate) —
+    here corpus is tiny so we keep all.
+    """
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard(threshold: float = 0.8, n: int = NGRAM_N) -> str:
+    return f"""
+WITH sh AS ({sql_shingles(n)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, h: int = MINHASH_FNS) -> DataFrame:
+    """(doc_id, sig) with sig = array of h min-hashes over the shingle set.
+
+    One shuffle (groupBy doc) with h JVM-side min() aggs — no UDF, no
+    per-hash explosion."""
+    sh = shingles(docs)
+    aggs = [F.min(md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(h)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(h)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, h: int = MINHASH_FNS, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Candidate pairs from band-bucket collisions, verified by signature
+    similarity (fraction of agreeing hashes ≥ threshold)."""
+    r = h // bands
+    sig = minhash_signatures(docs, h).cache()
+    bands_df = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands_df.alias("a")
+        .join(bands_df.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "sim",
+            F.round(
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+                / F.lit(float(h)),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
+    )
+
+
+def sql_minhash_lsh(threshold: float = 0.5, h: int = MINHASH_FNS, bands: int = LSH_BANDS) -> str:
+    r = h // bands
+    mins = ", ".join(f"min({sql_md5_hash64('shingle', i)}) AS h{i}" for i in range(h))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || ',' || ".join(f"h{bi * r + j}::VARCHAR" for j in range(r))
+        + " AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    eq_count = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(h))
+    return f"""
+WITH sh AS ({sql_shingles()}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, sim FROM (
+  SELECT doc_a, doc_b, round(({eq_count}) / {float(h)}, 6) AS sim
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+) WHERE sim >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — per-bit weighted majority over token hashes.
+
+    bits aggregate expressions on one (doc, token, tf) shuffle; the fingerprint
+    is assembled JVM-side with shiftleft/bitwise-or."""
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", md5_hash64(F.col("tok")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.col("tf") * (F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    bit_sums = ", ".join(
+        f"sum(tf * (((th // {2**b}) % 2) * 2 - 1)) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term AS tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+hashed AS (SELECT doc_id, tf, {sql_md5_hash64('tok')} AS th FROM toks),
+per_doc AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) pair join — correct baseline; the scale path buckets by
+    LSH first (see operators/ann.py). Elements cast to double so Spark and
+    DuckDB sum identically."""
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def sql_embedding_dups(threshold: float = 0.95) -> str:
+    return f"""
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= {threshold}
+"""

@@ -107,6 +107,8 @@ def search_topk(
     if mode == "exhaustive":
         apply_fn = _make_exhaustive(avgdl, kk)
     elif mode == "wand":
+        apply_fn = _make_wand_batched(avgdl, kk)
+    elif mode == "wand_cursor":
         apply_fn = _make_wand(avgdl, kk)
     else:
         raise ValueError(f"unknown mode {mode!r}")
@@ -161,6 +163,136 @@ def _make_exhaustive(avgdl: float, k: int):
             s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             doc_parts.append(d)
             score_parts.append(s)
+        if not doc_parts:
+            return _empty_out()
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.zeros(uniq.size)
+        np.add.at(agg, inv, scores)
+        return _topk_rows(qid, uniq, agg, k)
+
+    return fn
+
+
+def _make_wand_batched(avgdl: float, k: int):
+    """Batched block-max pruning — the vectorized serving path.
+
+    The cursor WAND (_make_wand) is algorithmically faithful to grenad's
+    pull-based seek loop but pays per-pivot Python overhead. This variant
+    keeps the same block-max math with NO per-doc Python:
+
+      1. θ₀: decode the single best block of the highest-impact term, compute
+         those docs' EXACT scores (decoding just the blocks of other terms
+         that contain them), take the kth best.
+      2. Split the shard's doc space at every block boundary; for each
+         resulting range, UB(range) = Σ_terms block_ub of the overlapping
+         block. Ranges with UB ≤ θ₀ cannot contain a top-k doc — skip.
+      3. Decode only blocks overlapping surviving ranges, mask decoded docs
+         to surviving ranges (exactness at θ ties), scatter-add, top-k.
+
+    On adversarially uniform corpora nothing prunes and this degrades to the
+    exhaustive scorer plus metadata work; on zipfian corpora the range UBs
+    kill the head-term-only ranges, exactly like block-max WAND.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        terms = []
+        for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            g = g.sort_values("first_doc", kind="stable")
+            idf = float(idf)
+            ub = idf * _tfpart(
+                g["max_tf"].to_numpy().astype(np.float64),
+                g["min_dl"].to_numpy().astype(np.float64),
+                avgdl,
+            )
+            terms.append(
+                {
+                    "idf": idf,
+                    "first": g["first_doc"].to_numpy(),
+                    "last": g["last_doc"].to_numpy(),
+                    "ns": g["n"].to_numpy(),
+                    "payloads": list(g["payload"]),
+                    "ub": ub,
+                }
+            )
+        if not terms:
+            return _empty_out()
+
+        def decode_term_blocks(t, bidx):
+            """Decode selected blocks of one term -> (docs, scores)."""
+            if bidx.size == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0)
+            d, tf, dl = decode_block_rows(
+                [t["payloads"][i] for i in bidx], t["ns"][bidx]
+            )
+            s = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            return d, s
+
+        # --- phase 1: θ₀ from the best block of the highest-impact term
+        best_t = max(terms, key=lambda t: float(t["ub"].max()))
+        seed_b = int(np.argmax(best_t["ub"]))
+        seed_docs, _ = decode_term_blocks(best_t, np.array([seed_b]))
+        seed_scores = np.zeros(seed_docs.size)
+        for t in terms:
+            # blocks of t containing any seed doc
+            bi = np.unique(np.searchsorted(t["last"], seed_docs))
+            bi = bi[bi < len(t["payloads"])]
+            d, s = decode_term_blocks(t, bi)
+            pos = np.searchsorted(d, seed_docs)
+            hit = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == seed_docs)
+            seed_scores[hit] += s[pos[hit]]
+        if seed_docs.size >= k:
+            theta = float(np.partition(seed_scores, seed_docs.size - k)[seed_docs.size - k])
+        else:
+            theta = -1.0
+
+        # --- phase 2: range UBs on block-boundary-aligned doc ranges
+        bounds = np.unique(
+            np.concatenate(
+                [t["first"] for t in terms] + [t["last"] + 1 for t in terms]
+            )
+        )
+        n_ranges = bounds.size - 1
+        if n_ranges <= 0:
+            survive_ranges = np.zeros(0, dtype=bool)
+        else:
+            range_ub = np.zeros(n_ranges)
+            starts = bounds[:-1]
+            for t in terms:
+                # block covering each range start (blocks are doc-disjoint,
+                # sorted): idx of first block with last >= start
+                bi = np.searchsorted(t["last"], starts)
+                valid = (bi < len(t["payloads"]))
+                bi_c = np.minimum(bi, len(t["payloads"]) - 1)
+                covers = valid & (t["first"][bi_c] <= starts)
+                range_ub[covers] += t["ub"][bi_c[covers]]
+            # >= not >: a pruned doc with UB == θ could otherwise tie the kth
+            # score and deserve the slot by doc_id — ties must stay exact
+            survive_ranges = range_ub >= theta
+
+        # --- phase 3: decode surviving blocks, mask, score, top-k
+        doc_parts, score_parts = [], []
+        sur_starts = bounds[:-1][survive_ranges]
+        sur_ends = bounds[1:][survive_ranges]
+        for t in terms:
+            # a block survives if any surviving range overlaps it
+            if sur_starts.size == 0:
+                continue
+            # for each block, does a surviving range start before block end
+            # and end after block start?
+            i = np.searchsorted(sur_ends, t["first"], side="right")
+            overlap = (i < sur_starts.size) & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
+            bidx = np.flatnonzero(overlap)
+            d, s = decode_term_blocks(t, bidx)
+            if d.size == 0:
+                continue
+            # mask decoded docs to surviving ranges (exactness at θ ties)
+            ridx = np.searchsorted(sur_starts, d, side="right") - 1
+            ok = (ridx >= 0) & (d < sur_ends[np.maximum(ridx, 0)])
+            doc_parts.append(d[ok])
+            score_parts.append(s[ok])
         if not doc_parts:
             return _empty_out()
         docs = np.concatenate(doc_parts)

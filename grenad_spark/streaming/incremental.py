@@ -1,0 +1,82 @@
+"""Incremental index build via Structured Streaming.
+
+grenad's Sorter accepts inserts in arbitrary order and spills sorted chunks;
+its Merger later folds chunks into one file (src/sorter.rs:478-498, :576-634).
+The streaming analog: each micro-batch of newly crawled docs becomes one
+GENERATION index (a sorted immutable run) via foreachBatch; `compact_indexes`
+plays the Merger whenever the generation count reaches max_generations
+(grenad max_nb_chunks = 25, src/sorter.rs:21).
+
+Exactly-once: foreachBatch + the streaming checkpoint give at-least-once with
+idempotent generation dirs (gen id = batch epoch; a replayed epoch overwrites
+its own directory — same bytes, deterministic build).
+
+Query over a non-compacted multi-generation index: union the generations'
+segments with newest-wins doc resolution at decode time; v1 requires
+compaction before serving (documented contract), matching grenad where reads
+go through a finished file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from grenad_spark.index.build import build_index
+from grenad_spark.index.compact import MAX_GENERATIONS, compact_indexes
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def generation_paths(index_root: str) -> list[str]:
+    gens = sorted(
+        (d for d in os.listdir(index_root) if d.startswith("gen=")),
+        key=lambda d: int(d.split("=")[1].split("_")[0]),
+    ) if os.path.isdir(index_root) else []
+    return [os.path.join(index_root, d) for d in gens]
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    n_shards: int = 4,
+    max_generations: int = MAX_GENERATIONS,
+):
+    """Start (availableNow) a stream that turns each micro-batch of docs into
+    a generation index; auto-compacts when generations pile up. Returns the
+    StreamingQuery (caller awaits termination)."""
+    os.makedirs(index_root, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = os.path.join(index_root, f"gen={epoch_id}")
+        build_index(
+            batch_df.sparkSession, batch_df, out, n_shards=n_shards, overwrite=True
+        )
+        gens = generation_paths(index_root)
+        if len(gens) >= max_generations:
+            compacted_tmp = os.path.join(index_root, "_compacting")
+            compact_indexes(batch_df.sparkSession, gens, compacted_tmp)
+            # atomic-ish swap: compacted run replaces all generations as gen=0
+            import shutil
+
+            for g in gens:
+                shutil.rmtree(g)
+            os.rename(compacted_tmp, os.path.join(index_root, f"gen={epoch_id}_c"))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -55,8 +55,10 @@ def test_three_paths_rank_identical(spark, docs_small, index_small):
     ref = _norm(bm25_topk(spark, docs_small))
     ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="exhaustive"))
     wd = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="wand"))
+    wc = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="wand_cursor"))
     assert ex == ref
-    assert wd == ref
+    assert wd == ref  # batched block-max pruning
+    assert wc == ref  # cursor (grenad-seek-loop) block-max WAND
 
 
 def test_python_oracle_agrees(spark, docs_small, index_small):
