@@ -207,6 +207,17 @@ def main() -> None:
     p50e = statistics.median(lat["exhaustive"])
     log(f"query p50: wand={p50w:.3f}s exhaustive={p50e:.3f}s")
 
+    # batched serving shape: all reference queries in ONE Spark job — the
+    # per-query Spark overhead amortizes (this is how a cluster serves)
+    t0 = time.time()
+    search_topk(spark, idx, REFERENCE_QUERIES, k=10, mode="wand").collect()
+    batch_sec = time.time() - t0
+    queries["wand_batch_all"] = round(batch_sec, 3)
+    log(
+        f"batched wand ({len(REFERENCE_QUERIES)} queries, one job): "
+        f"{batch_sec:.3f}s = {batch_sec / len(REFERENCE_QUERIES):.3f}s/query"
+    )
+
     total = time.time() - t_suite
     result = {
         "metric": "index_build_plus_bm25_suite_seconds",
@@ -223,6 +234,7 @@ def main() -> None:
         "scaling_levels": [LOW_CPUS, HIGH_CPUS],
         "bm25_p50_sec_wand": round(p50w, 3),
         "bm25_p50_sec_exhaustive": round(p50e, 3),
+        "bm25_batched_sec_per_query_wand": round(batch_sec / len(REFERENCE_QUERIES), 4),
     }
     print(json.dumps(result), flush=True)
 

@@ -533,6 +533,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+@register("bm25_topk_prefix", bm25.bm25_prefix_oracle_sql())
+def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixIter-backed query expansion (src/reader/prefix_iter.rs:8-94):
+    `sp*` expands against the term dictionary, then standard BM25."""
+    from grenad_spark.query.search import search_topk_prefix
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_prefix(spark, idx, bm25.PREFIX_QUERIES, k=10, mode="wand")
+
+
 @register(
     "term_dict",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

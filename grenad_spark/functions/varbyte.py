@@ -141,6 +141,42 @@ def encode_posting_blocks(
     ]
 
 
+# ---------------------------------------------------------------------------
+# optional per-block payload compression — grenad's per-block codec layer
+# (src/compression.rs:9-28: None/Snappy/Zlib/Lz4/Zstd; stdlib zlib here,
+# parquet-level zstd covers the storage layer). Payloads are small (≤ ~1 KiB
+# varbyte), so "none" is the default; zlib pays off for long high-dl blocks.
+# ---------------------------------------------------------------------------
+
+PAYLOAD_CODECS = ("none", "zlib")
+
+
+def compress_payload(payload: bytes, codec: str) -> bytes:
+    if codec == "none":
+        return payload
+    if codec == "zlib":
+        import zlib
+
+        return zlib.compress(payload, 6)
+    raise ValueError(f"unknown payload codec {codec!r}")
+
+
+def decompress_payload(payload: bytes, codec: str) -> bytes:
+    if codec == "none":
+        return payload
+    if codec == "zlib":
+        import zlib
+
+        return zlib.decompress(payload)
+    raise ValueError(f"unknown payload codec {codec!r}")
+
+
+def decompress_payloads(payloads: list[bytes], codec: str) -> list[bytes]:
+    if codec == "none":
+        return payloads
+    return [decompress_payload(p, codec) for p in payloads]
+
+
 def decode_block_rows(payloads: list[bytes], ns: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized decode of many independent block payloads at once.
 

@@ -62,7 +62,13 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _encode_partition_stream(batches) -> "pd.DataFrame":
+def _make_encode_stream(payload_codec: str = "none"):
+    def fn(batches):
+        return _encode_partition_stream(batches, payload_codec)
+    return fn
+
+
+def _encode_partition_stream(batches, payload_codec: str = "none") -> "pd.DataFrame":
     """Sorter::write_chunk analog, partition-at-a-time.
 
     Input: Arrow batches of one shuffle partition of the RAW token stream
@@ -107,6 +113,10 @@ def _encode_partition_stream(batches) -> "pd.DataFrame":
         for block_id, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
             encode_posting_blocks(uniq_docs, tf, dl[s:e][first_idx])
         ):
+            if payload_codec != "none":
+                from grenad_spark.functions.varbyte import compress_payload
+
+                payload = compress_payload(payload, payload_codec)
             rows.append(
                 (
                     terms[s], int(shards[s]), block_id, n, first, last,
@@ -151,6 +161,7 @@ def build_segments(
     n_docs: int,
     n_shards: int,
     partitions: int | None = None,
+    payload_codec: str = "none",
 ) -> DataFrame:
     """(term, doc_id, dl) raw token stream -> segment block rows.
 
@@ -169,7 +180,7 @@ def build_segments(
     return (
         sharded.repartition(partitions, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(_encode_partition_stream, SEGMENT_SCHEMA)
+        .mapInPandas(_make_encode_stream(payload_codec), SEGMENT_SCHEMA)
     )
 
 
@@ -193,6 +204,7 @@ def build_index(
     n_shards: int | None = None,
     overwrite: bool = False,
     compression: str = "zstd",
+    payload_codec: str = "none",
 ) -> "IndexHandle":
     """Run the full build; resumable per-stage. docs needs (doc_id, text)."""
     t0 = time.time()
@@ -208,6 +220,7 @@ def build_index(
             spark, docs, out_dir, t0,
             partitions=partitions, docs_per_shard=docs_per_shard,
             n_shards=n_shards, overwrite=overwrite, compression=compression,
+            payload_codec=payload_codec,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -224,6 +237,7 @@ def _build_index_inner(
     n_shards: int | None,
     overwrite: bool,
     compression: str,
+    payload_codec: str,
 ) -> "IndexHandle":
     if overwrite and os.path.exists(out_dir):
         import shutil
@@ -278,7 +292,7 @@ def _build_index_inner(
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
         ts = time.time()
-        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions)
+        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions, payload_codec)
         # Materialize block rows before the range write: repartitionByRange
         # SAMPLES its child to pick boundaries, which would re-run the whole
         # tokenize→shuffle→encode pipeline a second time. Block rows are
@@ -326,6 +340,7 @@ def _build_index_inner(
             "max_doc": int(max_doc),
             "n_shards": int(n_shards),
             "docs_per_shard": docs_per_shard,
+            "payload_codec": payload_codec,
             "partitions": partitions,
             "stage_seconds": {k: round(v, 3) for k, v in stage_secs.items()},
             "build_seconds": round(time.time() - t0, 3),
@@ -347,6 +362,7 @@ class IndexHandle:
         self.n_docs: int = self.manifest["n_docs"]
         self.avgdl: float = self.manifest["avgdl"]
         self.n_shards: int = self.manifest["n_shards"]
+        self.payload_codec: str = self.manifest.get("payload_codec", "none")
 
     def segments(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "segments"))

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from grenad_spark.functions.varbyte import decode_block_rows
+from grenad_spark.functions.varbyte import decode_block_rows, decompress_payloads
 from grenad_spark.index.build import (
     SEGMENT_SCHEMA,
     IndexHandle,
@@ -48,13 +48,19 @@ MAX_GENERATIONS = 25  # grenad max_nb_chunks default (src/sorter.rs:21)
 _DECODED_SCHEMA = "term string, doc_id long, tf int, dl int, gen int"
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_decode_partition(codec: str):
+    def fn(batches):
+        return _decode_partition(batches, codec)
+    return fn
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame], codec: str = "none") -> Iterator[pd.DataFrame]:
     """Vectorized block decode: one varbyte pass per (term, gen) run."""
     for pdf in batches:
         out_term, out_doc, out_tf, out_dl, out_gen = [], [], [], [], []
         for (term, gen), g in pdf.groupby(["term", "gen"], sort=False):
             g = g.sort_values(["shard", "block_id"], kind="stable")
-            d, tf, dl = decode_block_rows(list(g["payload"]), g["n"].to_numpy())
+            d, tf, dl = decode_block_rows(decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy())
             out_term.append(np.full(d.size, term, dtype=object))
             out_doc.append(d)
             out_tf.append(tf)
@@ -104,7 +110,7 @@ def compact_indexes(
     )
 
     decoded = seg_union.select("term", "gen", "shard", "block_id", "n", "payload").mapInPandas(
-        _decode_partition, _DECODED_SCHEMA
+        _make_decode_partition(handles[0].payload_codec), _DECODED_SCHEMA
     )
     # doc-keyed equi-join; AQE picks broadcast when the live map is small —
     # at web scale both sides shuffle-partition on doc_id (co-partitionable)

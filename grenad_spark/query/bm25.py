@@ -49,6 +49,15 @@ REFERENCE_QUERIES: list[tuple[int, str]] = [
 ]
 DEFAULT_K = 10
 
+# prefix-search query set (terms ending in * expand against the dictionary)
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (1, "sp*"),
+    (2, "ba* dup"),
+    (3, "win* merge"),
+    (4, "qu* v*"),
+    (5, "dup str*"),
+]
+
 
 def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
     """(query_id, term) with unique terms per query (BM25 ignores query-side tf)."""
@@ -124,6 +133,59 @@ qt AS (
   FROM (SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
         FROM {sql_queries_values(queries)})
   WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def bm25_prefix_oracle_sql(queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K) -> str:
+    """DuckDB oracle for prefix-expanded BM25: a `p*` token matches every
+    dictionary term with prefix p; expansions score as ordinary disjuncts."""
+    queries = queries if queries is not None else PREFIX_QUERIES
+    rows = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+vocab AS (SELECT DISTINCT term FROM tdt),
+rawq AS (
+  SELECT query_id, unnest(string_split(lower(query), ' ')) AS tok
+  FROM (VALUES {rows}) AS q(query_id, query)
+),
+cleaned AS (
+  SELECT query_id, tok LIKE '%*' AS is_prefix,
+         regexp_replace(CASE WHEN tok LIKE '%*' THEN rtrim(tok, '*') ELSE tok END,
+                        '[^a-z0-9]+', '', 'g') AS p
+  FROM rawq
+),
+qt AS (
+  SELECT DISTINCT query_id, v.term
+  FROM cleaned c JOIN vocab v
+    ON length(c.p) > 0 AND (
+         (NOT c.is_prefix AND v.term = c.p)
+         OR (c.is_prefix AND v.term LIKE c.p || '%')
+       )
 ),
 scored AS (
   SELECT qt.query_id, tdt.doc_id,

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
-from grenad_spark.functions.varbyte import decode_block, decode_block_rows
+from grenad_spark.functions.varbyte import decode_block, decode_block_rows, decompress_payload, decompress_payloads
 from grenad_spark.index.build import IndexHandle
 from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
 
@@ -60,6 +60,60 @@ def _tokenize_queries(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return out
 
 
+def expand_prefix_queries(
+    spark: SparkSession, index: IndexHandle, queries: list[tuple[int, str]]
+) -> list[tuple[int, str]]:
+    """Expand trailing-`*` terms against the term dictionary — the PrefixIter
+    query path (reference src/reader/prefix_iter.rs:8-94, used by Meilisearch
+    for prefix/typo search). `spar*` becomes every dictionary term in
+    [spar, spas) via one pruned term_dict scan; expanded terms then score as
+    ordinary disjuncts. At web scale a 1-char prefix can expand to millions
+    of terms — production would cap by descending df; the corpus vocabulary
+    here is small so expansion is uncapped.
+    """
+    import re
+
+    from grenad_spark.operators.seek import advance_str
+
+    exact: list[tuple[int, str]] = []
+    prefixes: list[tuple[int, str]] = []
+    for qid, q in queries:
+        for raw in q.lower().split():
+            if raw.endswith("*"):
+                p = re.sub(TOKEN_SPLIT_RE, "", raw[:-1])
+                if p:
+                    prefixes.append((qid, p))
+            else:
+                t = re.sub(TOKEN_SPLIT_RE, "", raw)
+                if t:
+                    exact.append((qid, t))
+    pairs = set(exact)
+    if prefixes:
+        cond = None
+        for _, p in set(prefixes):
+            succ = advance_str(p)
+            c = (F.col("term") >= p) & (F.col("term") < succ) if succ else (F.col("term") >= p)
+            cond = c if cond is None else (cond | c)
+        matched = [r["term"] for r in index.term_dict(spark).filter(cond).select("term").collect()]
+        for qid, p in prefixes:
+            for t in matched:
+                if t.startswith(p):
+                    pairs.add((qid, t))
+    return sorted(pairs)
+
+
+def search_topk_prefix(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "wand",
+) -> DataFrame:
+    """Top-k BM25 where query terms may end in `*` (prefix expansion)."""
+    pairs = expand_prefix_queries(spark, index, queries)
+    return _search_from_pairs(spark, index, pairs, k, mode)
+
+
 def _query_blocks(
     spark: SparkSession, index: IndexHandle, queries: list[tuple[int, str]]
 ) -> tuple[DataFrame, DataFrame]:
@@ -68,7 +122,12 @@ def _query_blocks(
     Returns (blocks_df, qterms_df). df (hence idf) comes from term_dict —
     a broadcast join of at most |query terms| rows.
     """
-    qt = _tokenize_queries(queries)
+    return _query_blocks_from_pairs(spark, index, _tokenize_queries(queries))
+
+
+def _query_blocks_from_pairs(
+    spark: SparkSession, index: IndexHandle, qt: list[tuple[int, str]]
+) -> tuple[DataFrame, DataFrame]:
     qterms = spark.createDataFrame(qt, "query_id int, term string")
     terms = sorted({t for _, t in qt})
     seg = index.segments(spark).filter(F.col("term").isin(terms))
@@ -100,16 +159,27 @@ def search_topk(
     wand skips decoding blocks whose upper bound can't reach the running
     top-k threshold.
     """
-    blocks, _ = _query_blocks(spark, index, queries)
+    return _search_from_pairs(spark, index, _tokenize_queries(queries), k, mode)
+
+
+def _search_from_pairs(
+    spark: SparkSession,
+    index: IndexHandle,
+    pairs: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     avgdl = float(index.avgdl)
     kk = int(k)
+    codec = index.payload_codec
 
     if mode == "exhaustive":
-        apply_fn = _make_exhaustive(avgdl, kk)
+        apply_fn = _make_exhaustive(avgdl, kk, codec)
     elif mode == "wand":
-        apply_fn = _make_wand_batched(avgdl, kk)
+        apply_fn = _make_wand_batched(avgdl, kk, codec)
     elif mode == "wand_cursor":
-        apply_fn = _make_wand(avgdl, kk)
+        apply_fn = _make_wand(avgdl, kk, codec)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -150,7 +220,7 @@ def _topk_rows(qid: int, doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.
     )
 
 
-def _make_exhaustive(avgdl: float, k: int):
+def _make_exhaustive(avgdl: float, k: int, codec: str = "none"):
     """Fully vectorized scatter-add scoring of one (query, shard) group."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -159,7 +229,7 @@ def _make_exhaustive(avgdl: float, k: int):
         # segment-aware scoring via np.add.at on dense doc offsets
         doc_parts, score_parts = [], []
         for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
-            d, tf, dl = decode_block_rows(list(g["payload"]), g["n"].to_numpy())
+            d, tf, dl = decode_block_rows(decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy())
             s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             doc_parts.append(d)
             score_parts.append(s)
@@ -175,7 +245,7 @@ def _make_exhaustive(avgdl: float, k: int):
     return fn
 
 
-def _make_wand_batched(avgdl: float, k: int):
+def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
     """Batched block-max pruning — the vectorized serving path.
 
     The cursor WAND (_make_wand) is algorithmically faithful to grenad's
@@ -225,7 +295,7 @@ def _make_wand_batched(avgdl: float, k: int):
             if bidx.size == 0:
                 return np.empty(0, dtype=np.int64), np.empty(0)
             d, tf, dl = decode_block_rows(
-                [t["payloads"][i] for i in bidx], t["ns"][bidx]
+                decompress_payloads([t["payloads"][i] for i in bidx], codec), t["ns"][bidx]
             )
             s = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             return d, s
@@ -305,7 +375,7 @@ def _make_wand_batched(avgdl: float, k: int):
     return fn
 
 
-def _make_wand(avgdl: float, k: int):
+def _make_wand(avgdl: float, k: int, codec: str = "none"):
     """Block-max WAND over one (query, shard) group.
 
     Doc-at-a-time pivoting with per-term block cursors; a block is decoded
@@ -347,7 +417,7 @@ def _make_wand(avgdl: float, k: int):
             return _empty_out()
 
         def load_block(t, bi):
-            d, tf, dl = decode_block(t["payloads"][bi])
+            d, tf, dl = decode_block(decompress_payload(t["payloads"][bi], codec))
             t["bi"] = bi
             t["docs"] = d
             t["scores"] = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)

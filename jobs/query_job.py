@@ -1,0 +1,39 @@
+"""spark-submit entry point for BM25 top-k queries against a built index.
+
+Usage:
+  spark-submit --py-files grenad_spark.zip jobs/query_job.py \
+      --index /path/to/index --query "spark window" [--k 10] [--mode wand]
+
+Multiple --query flags run as ONE batched Spark job (the serving shape:
+per-query overhead amortizes across the batch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "wand_cursor"])
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("grenad-query").getOrCreate()
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.query.search import search_topk
+
+    idx = IndexHandle(args.index)
+    queries = list(enumerate(args.query, start=1))
+    res = search_topk(spark, idx, queries, k=args.k, mode=args.mode)
+    for row in res.collect():
+        print(f"q{row['query_id']}\t{row['doc_id']}\t{row['score']:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
