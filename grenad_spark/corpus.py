@@ -45,6 +45,47 @@ def to_cc_shape(docs: DataFrame) -> DataFrame:
     )
 
 
+def assign_doc_ids(
+    docs: DataFrame,
+    url_col: str = "url",
+    num_buckets: int = 1024,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Deterministic dense doc_id assignment for corpora keyed by url.
+
+    monotonically_increasing_id() is partition-layout-dependent and a global
+    row_number() is a single-task sort — both wrong at 10^12 docs. Instead
+    (SURVEY §7.1): hash urls into num_buckets fixed buckets, row_number
+    WITHIN each bucket ordered by url (bounded window), and add per-bucket
+    offsets computed from a bucket-count collect (num_buckets rows on the
+    driver). The (url → doc_id) map depends only on the data, never on
+    partitioning, task order, or cluster size — the determinism the
+    rank-identical / byte-identical invariants require.
+
+    urls must be unique (doc identity); pass `tiebreak` (e.g. warc_ts) to
+    disambiguate deliberate re-crawl duplicates.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    pid = F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets)).cast("int")
+    with_pid = docs.withColumn("_pid", pid)
+    counts = {r["_pid"]: r["count"] for r in with_pid.groupBy("_pid").count().collect()}
+    offsets, acc = [], 0
+    for b in range(num_buckets):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    offs = spark.createDataFrame(offsets, "_pid int, _offset long")
+    order_cols = [url_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs), "_pid")
+        .withColumn("doc_id", (F.col("_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
 def extract_text(cc: DataFrame) -> DataFrame:
     """The deterministic reference extractor: html bytes -> text.
 

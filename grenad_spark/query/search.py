@@ -208,15 +208,14 @@ def _empty_out() -> pd.DataFrame:
 
 
 def _topk_rows(qid: int, doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
-    if doc_ids.size > k:
-        # partial select then exact ordering of the k winners
-        idx = np.argpartition(-scores, k - 1)[:k]
-    else:
-        idx = np.arange(doc_ids.size)
-    order = np.lexsort((doc_ids[idx], -scores[idx]))
-    idx = idx[order]
+    # full (score desc, doc_id asc) ordering — NOT argpartition: partitioning
+    # on score alone drops tied candidates arbitrarily, and the doc-id
+    # tie-break is part of the ranking contract (Hypothesis-caught: a shard
+    # top-k that keeps doc 4 but drops doc 1 at equal score is wrong even
+    # though the global window re-sorts survivors)
+    order = np.lexsort((doc_ids, -scores))[:k]
     return pd.DataFrame(
-        {"query_id": qid, "doc_id": doc_ids[idx], "score": scores[idx]}
+        {"query_id": qid, "doc_id": doc_ids[order], "score": scores[order]}
     )
 
 
@@ -310,6 +309,8 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
             bi = np.unique(np.searchsorted(t["last"], seed_docs))
             bi = bi[bi < len(t["payloads"])]
             d, s = decode_term_blocks(t, bi)
+            if d.size == 0:  # seed docs all past this term's last block
+                continue
             pos = np.searchsorted(d, seed_docs)
             hit = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == seed_docs)
             seed_scores[hit] += s[pos[hit]]
