@@ -304,6 +304,57 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cube",
+    """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '<all>') AS day,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS v
+FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+""",
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (absent in the reference, SURVEY §2.8; Catalyst
+    expands it to grouping sets in one pass)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n",
+            "v",
+        )
+    )
+
+
+@register(
+    "events_pivot",
+    """
+SELECT user_bucket,
+       coalesce(round(sum(value) FILTER (event_type = 'click'), 4), 0.0) AS click,
+       coalesce(round(sum(value) FILTER (event_type = 'view'), 4), 0.0) AS view,
+       coalesce(round(sum(value) FILTER (event_type = 'purchase'), 4), 0.0) AS purchase
+FROM (SELECT user_id % 10 AS user_bucket, event_type, value FROM events)
+GROUP BY user_bucket
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("user_bucket", F.col("user_id") % 10)
+    piv = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return piv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in ["click", "view", "purchase"]],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus canonicalization + extractor invariant (BASELINE.json input_hint:
 # byte-identical extracted text per url). The Spark side round-trips
