@@ -15,8 +15,9 @@ from grenad_spark import entrypoints as E
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return E.q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: full pipeline — build the sharded
+    varbyte index, answer the reference query set via block-max WAND."""
+    return E.q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

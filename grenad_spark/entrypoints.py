@@ -584,6 +584,29 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+_BM25_WITH_DOCS_ORACLE = bm25.bm25_oracle_sql().replace(
+    "SELECT query_id, doc_id, score FROM (",
+    "SELECT query_id, doc_id, score, lang, n_chars FROM (",
+).replace(
+    ") WHERE rn <= 10",
+    ") r JOIN documents d USING (doc_id) WHERE rn <= 10",
+)
+
+
+@register("bm25_topk_with_docs", _BM25_WITH_DOCS_ORACLE)
+def q_bm25_with_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k re-joined to doc metadata (SURVEY §2.9: topk ⋈ documents) —
+    the k·|queries| row side broadcasts into the documents scan."""
+    from grenad_spark.query.search import search_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    topk = search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return docs.join(F.broadcast(topk), "doc_id").select(
+        "query_id", "doc_id", "score", "lang", "n_chars"
+    )
+
+
 @register("bm25_topk_prefix", bm25.bm25_prefix_oracle_sql())
 def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixIter-backed query expansion (src/reader/prefix_iter.rs:8-94):
