@@ -617,6 +617,25 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_prefix(spark, idx, bm25.PREFIX_QUERIES, k=10, mode="wand")
 
 
+@register("bm25_topk_fuzzy", bm25.bm25_fuzzy_oracle_sql())
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search: Levenshtein-≤1 expansion against the term
+    dictionary (the Meilisearch feature grenad's sorted files serve)."""
+    from grenad_spark.query.search import search_topk_fuzzy
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_fuzzy(spark, idx, bm25.FUZZY_QUERIES, k=10, mode="wand")
+
+
+@register("bm25_topk_and", bm25.bm25_and_oracle_sql())
+def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) search — posting-list intersection (SURVEY §2.7)."""
+    from grenad_spark.query.search import search_conjunctive
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_conjunctive(spark, idx, bm25.AND_QUERIES, k=10)
+
+
 @register(
     "term_dict",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

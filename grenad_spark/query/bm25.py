@@ -49,6 +49,24 @@ REFERENCE_QUERIES: list[tuple[int, str]] = [
 ]
 DEFAULT_K = 10
 
+# typo-tolerant query set (each term matches dictionary terms within
+# Levenshtein distance 1)
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (1, "spakr"),
+    (2, "window merge"),
+    (3, "dupp"),
+    (4, "qury vektor"),
+    (5, "join hash tble"),
+]
+
+# conjunctive (AND) query set
+AND_QUERIES: list[tuple[int, str]] = [
+    (1, "dup spark"),
+    (2, "merge sort table window"),
+    (3, "the fast join hash"),
+    (4, "dup stream batch"),
+]
+
 # prefix-search query set (terms ending in * expand against the dictionary)
 PREFIX_QUERIES: list[tuple[int, str]] = [
     (1, "sp*"),
@@ -150,6 +168,97 @@ scored AS (
 SELECT query_id, doc_id, score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
   FROM scored
+) WHERE rn <= {k}
+"""
+
+
+_SCORING_TAIL = f"""
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {{k}}
+"""
+
+_CORPUS_CTES = f"""
+tdt AS ({{tdt}}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+vocab AS (SELECT DISTINCT term FROM tdt)
+"""
+
+
+def bm25_fuzzy_oracle_sql(
+    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K, max_edits: int = 1
+) -> str:
+    """DuckDB oracle for typo-tolerant BM25 (levenshtein ≤ max_edits)."""
+    queries = queries if queries is not None else FUZZY_QUERIES
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+rawq AS (
+  SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS qterm
+  FROM {sql_queries_values(queries)}
+),
+qt AS (
+  SELECT DISTINCT r.query_id, v.term
+  FROM rawq r JOIN vocab v
+    ON r.qterm <> ''
+   AND abs(length(v.term) - length(r.qterm)) <= {max_edits}
+   AND levenshtein(v.term, r.qterm) <= {max_edits}
+),
+{_SCORING_TAIL.format(k=k).lstrip()}
+"""
+
+
+def bm25_and_oracle_sql(
+    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K
+) -> str:
+    """DuckDB oracle for conjunctive (AND) BM25: only docs containing every
+    distinct query term are ranked."""
+    queries = queries if queries is not None else AND_QUERIES
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+    FROM {sql_queries_values(queries)}
+  ) WHERE term <> ''
+),
+qn AS (SELECT query_id, count(*)::INT AS n_terms FROM qt GROUP BY query_id),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score,
+         count(DISTINCT tdt.term)::INT AS hit_terms
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN qn ON s.query_id = qn.query_id AND s.hit_terms = qn.n_terms
 ) WHERE rn <= {k}
 """
 

@@ -102,6 +102,125 @@ def expand_prefix_queries(
     return sorted(pairs)
 
 
+def expand_fuzzy_queries(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    max_edits: int = 1,
+) -> list[tuple[int, str]]:
+    """Typo-tolerant expansion: each query term matches every dictionary term
+    within `max_edits` Levenshtein distance (the feature Meilisearch builds
+    on grenad's sorted-term files). One vocabulary scan with a broadcast of
+    the query terms; expansions score as ordinary disjuncts. At web scale the
+    vocab scan prunes by length band (|len(t)-len(q)| ≤ max_edits) before the
+    quadratic distance — expressed here so Catalyst filters cheaply first."""
+    qt = _tokenize_queries(queries)
+    qdf = spark.createDataFrame(qt, "query_id int, qterm string")
+    vocab = index.term_dict(spark).select("term")
+    matched = (
+        vocab.join(
+            F.broadcast(qdf),
+            (
+                F.abs(F.length("term") - F.length("qterm")) <= max_edits
+            )
+            & (F.levenshtein("term", "qterm") <= max_edits),
+        )
+        .select("query_id", "term")
+        .distinct()
+        .collect()
+    )
+    return sorted({(r["query_id"], r["term"]) for r in matched})
+
+
+def search_topk_fuzzy(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "wand",
+    max_edits: int = 1,
+) -> DataFrame:
+    """Top-k BM25 with Levenshtein-≤max_edits term expansion."""
+    pairs = expand_fuzzy_queries(spark, index, queries, max_edits)
+    return _search_from_pairs(spark, index, pairs, k, mode)
+
+
+def search_conjunctive(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """AND semantics: only docs containing EVERY query term rank (the
+    posting-list intersection of SURVEY §2.7; relationally a semi-join chain,
+    here one aggregate with a term-count filter)."""
+    pairs = _tokenize_queries(queries)
+    n_terms = {}
+    for qid, _ in pairs:
+        n_terms[qid] = n_terms.get(qid, 0) + 1
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    avgdl = float(index.avgdl)
+    kk = int(k)
+    codec = index.payload_codec
+    nt = spark.createDataFrame(list(n_terms.items()), "query_id int, n_terms int")
+
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.join(F.broadcast(nt), "query_id")
+        .filter(F.col("hit_terms") == F.col("n_terms"))
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .select("query_id", "doc_id", "score")
+    )
+
+
+_OUT_AND_SCHEMA = "query_id int, doc_id long, score double, hit_terms int"
+
+
+def _make_exhaustive_with_termcount(avgdl: float, codec: str = "none"):
+    """Like the exhaustive scorer but emits per-doc matched-term counts and
+    does NOT truncate to k (the AND filter happens before ranking)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        doc_parts, score_parts = [], []
+        for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            d, tf, dl = decode_block_rows(
+                decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy()
+            )
+            s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            doc_parts.append(d)
+            score_parts.append(s)
+        if not doc_parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                    "hit_terms": pd.Series(dtype="int32"),
+                }
+            )
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.zeros(uniq.size)
+        np.add.at(agg, inv, scores)
+        hits = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(hits, inv, 1)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": uniq, "score": agg, "hit_terms": hits}
+        )
+
+    return fn
+
+
 def search_topk_prefix(
     spark: SparkSession,
     index: IndexHandle,
