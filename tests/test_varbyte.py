@@ -104,6 +104,37 @@ def test_merge_last_generation_wins():
     assert dl.tolist() == [10, 99, 7, 10]
 
 
+@st.composite
+def generation_postings(draw):
+    """2-4 generations with overlapping doc sets (re-crawls)."""
+    gens = []
+    for _ in range(draw(st.integers(2, 4))):
+        n = draw(st.integers(1, 200))
+        docs = np.array(sorted(draw(st.sets(st.integers(0, 500), min_size=n, max_size=n))), dtype=np.int64)
+        tfs = np.array(draw(st.lists(st.integers(1, 50), min_size=docs.size, max_size=docs.size)), dtype=np.int64)
+        dls = np.array(draw(st.lists(st.integers(1, 99), min_size=docs.size, max_size=docs.size)), dtype=np.int64)
+        gens.append((docs, tfs, dls))
+    return gens
+
+
+@given(generation_postings())
+@settings(max_examples=60, deadline=None)
+def test_merge_generations_newest_wins_property(gens):
+    payload_lists = [
+        [b[6] for b in encode_posting_blocks(d, t, l)] for d, t, l in gens
+    ]
+    merged = merge_posting_blocks(payload_lists)
+    d, tf, dl = decode_block_list([b[6] for b in merged])
+    # oracle: dict updated oldest -> newest
+    want: dict[int, tuple[int, int]] = {}
+    for docs, tfs, dls in gens:
+        for i in range(docs.size):
+            want[int(docs[i])] = (int(tfs[i]), int(dls[i]))
+    assert d.tolist() == sorted(want)
+    for i, doc in enumerate(d.tolist()):
+        assert (tf[i], dl[i]) == want[doc]
+
+
 def test_block_boundary_restart():
     # exactly at BLOCK_SIZE boundaries blocks decode independently
     n = BLOCK_SIZE * 3 + 7
