@@ -646,3 +646,36 @@ def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — validates the encode→segment→aggregate roundtrip."""
     idx = build_or_get_index(spark, sf_dir)
     return idx.term_dict(spark).select("term", "df", "cf")
+
+
+@register(
+    "term_dict_compacted",
+    "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+    f"FROM ({sql_term_doc_tf('documents')}) GROUP BY term",
+)
+def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Merger path oracle-gated: the corpus split into two generation
+    indexes, compacted (decode → doc tombstones → re-encode), must aggregate
+    to the same term statistics as one direct pass."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    out = f"/tmp/grenad_compact{key}"
+    if f"compact{key}" not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        gens = []
+        for i in range(2):
+            p = f"{out}_gen{i}"
+            build_index(
+                spark,
+                docs.filter(F.col("doc_id") % 2 == i).select("doc_id", "text"),
+                p,
+                n_shards=2,
+                overwrite=True,
+            )
+            gens.append(p)
+        _INDEX_CACHE[f"compact{key}"] = compact_indexes(
+            spark, gens, out + "_merged", docs=docs
+        )
+    return _INDEX_CACHE[f"compact{key}"].term_dict(spark).select("term", "df", "cf")

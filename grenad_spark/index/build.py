@@ -357,6 +357,7 @@ class IndexHandle:
 
     def __init__(self, path: str):
         self.path = path
+        self._dfs: dict[str, DataFrame] = {}
         with open(os.path.join(path, "manifest.json")) as fh:
             self.manifest = json.load(fh)
         self.n_docs: int = self.manifest["n_docs"]
@@ -364,12 +365,21 @@ class IndexHandle:
         self.n_shards: int = self.manifest["n_shards"]
         self.payload_codec: str = self.manifest.get("payload_codec", "none")
 
+    def _table(self, spark: SparkSession, name: str) -> DataFrame:
+        # memoized per (session, table): reusing the DataFrame keeps the
+        # resolved file index (listing + schema) across queries — repeated
+        # single-query serving otherwise re-lists the segment files each time
+        key = f"{id(spark)}:{name}"
+        if key not in self._dfs:
+            self._dfs[key] = spark.read.parquet(os.path.join(self.path, name))
+        return self._dfs[key]
+
     def segments(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "segments"))
+        return self._table(spark, "segments")
 
     def term_dict(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "term_dict"))
+        return self._table(spark, "term_dict")
 
     def docs(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl) membership/norms table."""
-        return spark.read.parquet(os.path.join(self.path, "docs"))
+        return self._table(spark, "docs")
