@@ -141,16 +141,21 @@ def host_memory_ceiling() -> float:
     """
     import subprocess
 
-    per = {}
-    for cpus in (LOW_CPUS, HIGH_CPUS):
-        code = _MEM_SNIPPET.format(cpus=cpus)
-        p = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=300,
-        )
-        for line in p.stdout.splitlines():
-            if line.startswith("MEM_RESULT "):
-                per[cpus] = json.loads(line[len("MEM_RESULT "):])["per_task"]
+    per: dict[int, float] = {}
+    # best-of-2 interleaved, like the builds: a noisy-neighbor burst during
+    # one 20 s window otherwise corrupts the calibration itself (observed
+    # ceiling swinging 0.26-0.60 across runs)
+    for _ in range(2):
+        for cpus in (LOW_CPUS, HIGH_CPUS):
+            code = _MEM_SNIPPET.format(cpus=cpus)
+            p = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=300,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("MEM_RESULT "):
+                    t = json.loads(line[len("MEM_RESULT "):])["per_task"]
+                    per[cpus] = min(per.get(cpus, float("inf")), t)
     # ideal-parallel wall time ∝ per_task; efficiency cap = per(L)/per(H)
     return per[LOW_CPUS] / per[HIGH_CPUS]
 
@@ -179,7 +184,11 @@ def main() -> None:
     ratio = HIGH_CPUS / LOW_CPUS
     efficiency = (n_docs / t32) / (ratio * (n_docs / t8))
     ceiling = host_memory_ceiling()
-    normalized = efficiency / ceiling if ceiling > 0 else float("nan")
+    # the host's available memory bandwidth drifts over tens of minutes
+    # (multi-tenant physical host; steal-time stays 0 because the bus, not
+    # the CPU, is contended) — the ceiling measured minutes after the builds
+    # can be worse than what the builds saw, so clamp at ideal
+    normalized = min(1.0, efficiency / ceiling) if ceiling > 0 else float("nan")
     log(
         f"scaling efficiency ({LOW_CPUS}->{HIGH_CPUS}): {efficiency:.3f} "
         f"(host memory-bound ceiling {ceiling:.3f} -> normalized {normalized:.3f})"
