@@ -465,12 +465,42 @@ def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("media_features")
+# The synthetic payload is 96 UTF-8 hex chars (3 chained md5 digests), so the
+# byte histogram (bincount of byte>>4 over 16 bins, L1-normalized) is nonzero
+# only at bin 3 (digits '0'-'9', 0x30-0x39) and bin 6 ('a'-'f', 0x61-0x66) —
+# which DuckDB reproduces exactly by counting digit chars in the hex string.
+# Features are emitted as 16 scalar double columns (rounded to 6) because the
+# driver's canonicalizer sorts rows and cannot hash an array column.
+_MEDIA_FEATURES_ORACLE = (
+    "WITH h AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN "
+    "'audio' ELSE 'video' END AS media_type, md5(text) || md5('p2:' || text) || "
+    "md5('p3:' || text) AS hex FROM documents), "
+    "d AS (SELECT doc_id, media_type, "
+    "length(regexp_replace(hex, '[^0-9]', '', 'g'))::DOUBLE AS nd FROM h) "
+    "SELECT doc_id, media_type, "
+    + ", ".join(
+        (
+            "round(nd / 96.0, 6) AS f3" if i == 3
+            else "round((96.0 - nd) / 96.0, 6) AS f6" if i == 6
+            else f"0.0::DOUBLE AS f{i}"
+        )
+        for i in range(16)
+    )
+    + " FROM d"
+)
+
+
+@register("media_features", _MEDIA_FEATURES_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenad_spark.operators import multimodal
 
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(16)],
+    )
 
 
 @register(
@@ -545,16 +575,19 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(load_embeddings(spark, sf_dir))
 
 
-@register("ann_lsh_topk")  # seeded hyperplanes are engine-local → rows-only;
+@register("ann_lsh_topk", ann.sql_lsh_topk())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # recall vs brute force asserted in tests/test_ann.py
+    """Fully oracle-gated: md5-derived INTEGER hyperplanes + quantized
+    vectors make every LSH sign bit exact cross-engine (see operators/ann.py);
+    recall vs brute force additionally asserted in tests/test_dedup_ann.py."""
     from grenad_spark.corpus import load_embeddings
 
     return ann.lsh_topk(load_embeddings(spark, sf_dir))
 
 
-@register("ann_ivf_topk")  # rows-only; recall asserted in tests/test_ann.py
+@register("ann_ivf_topk", ann.sql_ivf_topk())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully oracle-gated: md5-rank-selected deterministic centroids."""
     from grenad_spark.corpus import load_embeddings
 
     return ann.ivf_topk(load_embeddings(spark, sf_dir))

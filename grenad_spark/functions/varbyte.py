@@ -114,8 +114,10 @@ def encode_posting_blocks(
     n = doc_ids.size
     if n == 0:
         return []
-    if n > 1:
-        assert (np.diff(doc_ids) > 0).all(), "doc_ids must be strictly increasing"
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        from grenad_spark.errors import InvalidKeyOrder
+
+        raise InvalidKeyOrder("doc_ids must be strictly increasing")
     flat = _interleave(doc_ids, [tfs, dls])
     lens = varbyte_lengths(flat)
     byte_cum = np.concatenate(([0], np.cumsum(lens)))
@@ -148,7 +150,22 @@ def encode_posting_blocks(
 # varbyte), so "none" is the default; zlib pays off for long high-dl blocks.
 # ---------------------------------------------------------------------------
 
-PAYLOAD_CODECS = ("none", "zlib")
+# Full grenad codec matrix (src/compression.rs:9-28 None/Snappy/Zlib/Lz4/
+# Zstd; SnappyPre05 is a legacy wire-compat variant with no Python analog).
+# zlib is stdlib; snappy/lz4/zstd ride on pyarrow's codecs with a 4-byte
+# little-endian raw-length header (pyarrow.decompress needs the decoded size,
+# which grenad stores in its block header too).
+PAYLOAD_CODECS = ("none", "zlib", "snappy", "lz4", "zstd")
+_ARROW_CODECS = {"snappy", "lz4", "zstd"}
+
+
+def _arrow_codec_available(codec: str) -> bool:
+    try:
+        import pyarrow as pa
+
+        return bool(pa.Codec.is_available(codec))
+    except Exception:  # pragma: no cover - pyarrow always present here
+        return False
 
 
 def compress_payload(payload: bytes, codec: str) -> bytes:
@@ -158,7 +175,14 @@ def compress_payload(payload: bytes, codec: str) -> bytes:
         import zlib
 
         return zlib.compress(payload, 6)
-    raise ValueError(f"unknown payload codec {codec!r}")
+    if codec in _ARROW_CODECS and _arrow_codec_available(codec):
+        import pyarrow as pa
+
+        body = pa.compress(payload, codec=codec, asbytes=True)
+        return len(payload).to_bytes(4, "little") + body
+    from grenad_spark.errors import InvalidCompressionType
+
+    raise InvalidCompressionType(f"unknown or unavailable payload codec {codec!r}")
 
 
 def decompress_payload(payload: bytes, codec: str) -> bytes:
@@ -168,7 +192,14 @@ def decompress_payload(payload: bytes, codec: str) -> bytes:
         import zlib
 
         return zlib.decompress(payload)
-    raise ValueError(f"unknown payload codec {codec!r}")
+    if codec in _ARROW_CODECS and _arrow_codec_available(codec):
+        import pyarrow as pa
+
+        raw_len = int.from_bytes(payload[:4], "little")
+        return pa.decompress(payload[4:], decompressed_size=raw_len, codec=codec, asbytes=True)
+    from grenad_spark.errors import InvalidCompressionType
+
+    raise InvalidCompressionType(f"unknown or unavailable payload codec {codec!r}")
 
 
 def decompress_payloads(payloads: list[bytes], codec: str) -> list[bytes]:

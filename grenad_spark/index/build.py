@@ -172,8 +172,15 @@ def build_segments(
     because shards are doc-range disjoint (the src/merger.rs:51-57
     deterministic merge order by construction).
     """
+    # integer floor division (BIGINT DIV): double division would lose
+    # precision past 2^53 (~10^12 docs × 5e5 shards at the SCALE.md design
+    # point) and silently shift shard boundaries
     sharded = token_stream.withColumn(
-        "shard", ((F.col("doc_id") * n_shards) / F.lit(n_docs)).cast("int")
+        "shard",
+        F.expr(
+            f"CAST((doc_id * CAST({int(n_shards)} AS BIGINT)) DIV "
+            f"CAST({int(n_docs)} AS BIGINT) AS INT)"
+        ),
     )
     if partitions is None:
         partitions = sharded.sparkSession.sparkContext.defaultParallelism
@@ -333,7 +340,7 @@ def _build_index_inner(
             if f.endswith(".parquet")
         ]
         manifest = {
-            "format_version": 1,
+            "format_version": CURRENT_FORMAT_VERSION,
             "built_at_unix": int(t0),
             "n_docs": int(n_docs),
             "avgdl": float(avgdl),
@@ -351,6 +358,14 @@ def _build_index_inner(
     return IndexHandle(out_dir)
 
 
+# Manifest format versions this engine can open (the src/metadata.rs:39-91
+# version-dispatch analog; grenad 0.5 reads 0.4 files, src/writer.rs:373-413):
+#   0 — pre-codec manifests: no payload_codec key (implied "none")
+#   1 — current: payload_codec recorded explicitly
+SUPPORTED_FORMAT_VERSIONS = (0, 1)
+CURRENT_FORMAT_VERSION = 1
+
+
 class IndexHandle:
     """Open index: lazy accessors over the persisted tables (Reader::new
     analog, src/reader/mod.rs:22-26 — the manifest is the metadata footer)."""
@@ -360,10 +375,22 @@ class IndexHandle:
         self._dfs: dict[str, DataFrame] = {}
         with open(os.path.join(path, "manifest.json")) as fh:
             self.manifest = json.load(fh)
+        self.format_version: int = int(self.manifest.get("format_version", 0))
+        if self.format_version not in SUPPORTED_FORMAT_VERSIONS:
+            from grenad_spark.errors import InvalidFormatVersion
+
+            raise InvalidFormatVersion(
+                f"index at {path} has format_version {self.format_version}; "
+                f"this engine reads {SUPPORTED_FORMAT_VERSIONS}"
+            )
         self.n_docs: int = self.manifest["n_docs"]
         self.avgdl: float = self.manifest["avgdl"]
         self.n_shards: int = self.manifest["n_shards"]
-        self.payload_codec: str = self.manifest.get("payload_codec", "none")
+        if self.format_version == 0:
+            # v0 predates payload codecs: payloads are always raw varbyte
+            self.payload_codec: str = "none"
+        else:
+            self.payload_codec = self.manifest.get("payload_codec", "none")
 
     def _table(self, spark: SparkSession, name: str) -> DataFrame:
         # memoized per (session, table): reusing the DataFrame keeps the
@@ -383,3 +410,21 @@ class IndexHandle:
     def docs(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl) membership/norms table."""
         return self._table(spark, "docs")
+
+    # serving-path df lookup: a driver-held {term: df} map loaded ONCE per
+    # handle kills the per-query term_dict scan+broadcast job (~0.1 s/query).
+    # Gated by vocabulary size — beyond IDF_MAP_MAX_TERMS (a 10^9-term web
+    # vocabulary) callers fall back to the distributed broadcast join.
+    IDF_MAP_MAX_TERMS = 2_000_000
+
+    def df_map(self, spark: SparkSession) -> dict | None:
+        if not hasattr(self, "_df_map"):
+            n_terms = self.manifest.get("n_terms")
+            if n_terms is None:
+                n_terms = self.term_dict(spark).count()
+            if n_terms <= self.IDF_MAP_MAX_TERMS:
+                rows = self.term_dict(spark).select("term", "df").collect()
+                self._df_map = {r["term"]: int(r["df"]) for r in rows}
+            else:
+                self._df_map = None
+        return self._df_map

@@ -4,22 +4,40 @@ Reference: Sorter::merge_chunks (src/sorter.rs:576-634) re-merges up to
 max_nb_chunks (25, src/sorter.rs:21) spill files into one; MergerIter
 (src/merger.rs:126-196) yields one merge call per key with values in
 source-index order — keep-newest per doc is our MergeFunction (re-crawl
-replaces a page).
+replaces a page). Crucially grenad's merge STREAMS untouched runs — it never
+decodes a block no other source interleaves with — which is the copy-through
+fast path below.
 
-Dataflow (all shuffles bounded, reuses the build's sharded encode):
+Dataflow (all shuffles bounded):
 
-  union(segments × generations)                [block rows, compressed]
-    → mapInPandas vectorized decode           [(term, doc_id, tf, dl, gen)]
-    → join broadcast(live map: doc → newest   [doc-level tombstones: a doc
-      generation containing it)]               present in gen g but absent
-    → filter gen == live_gen                   from newer gens keeps ONLY its
-                                               newest postings — terms the
-                                               newer crawl dropped disappear]
-    → build_segments(...)                      [the standard sharded encode]
+  docs tables (per gen)                        [membership record: doc -> gen]
+    → shard ownership map                      [per OUTPUT shard: which gens
+                                                have docs there + deletions]
+    → split segment rows:
+      COPY-THROUGH: blocks in shards owned by exactly ONE generation, with no
+        deleted docs, from a generation whose shard geometry and codec match
+        the output — pass through byte-identical, never decoded (grenad's
+        streamed untouched run)
+      DIRTY: everything else →
+        mapInPandas vectorized decode          [per-GEN codec — generations
+                                                may use different payload
+                                                codecs (src/compression.rs)]
+        → join live map (doc → newest gen)     [doc-level tombstones: newest
+                                                generation containing a doc
+                                                wins; terms the newer crawl
+                                                dropped disappear]
+        → build_segments(...)                  [the standard sharded encode]
 
-The live map comes from each generation's persisted docs table (doc_id, dl) —
-the membership record that makes deletion expressible (grenad: deletion =
-write a new file without the key, src/lib.rs:9-10).
+If an authoritative `docs` DataFrame is passed, any doc absent from it is
+DELETED (grenad: deletion = write a new file without the key, src/lib.rs:9-10)
+— its shards are excluded from copy-through and its postings are filtered on
+the decode path.
+
+Copy-through safety: within a (term, shard) group all blocks must stay
+doc-range disjoint and block_id-ordered (WAND cursors binary-search block
+boundaries). An exclusively-owned shard's blocks come from ONE generation
+whose shard function equals the output's, so shard ids, block ids, and doc
+order are already correct — no renumbering pass.
 """
 
 from __future__ import annotations
@@ -33,10 +51,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from grenad_spark.errors import MergeError
 from grenad_spark.functions.varbyte import decode_block_rows, decompress_payloads
 from grenad_spark.index.build import (
+    CURRENT_FORMAT_VERSION,
     SEGMENT_SCHEMA,
     IndexHandle,
     build_segments,
@@ -47,20 +66,30 @@ MAX_GENERATIONS = 25  # grenad max_nb_chunks default (src/sorter.rs:21)
 
 _DECODED_SCHEMA = "term string, doc_id long, tf int, dl int, gen int"
 
+_SEGMENT_COLS = [
+    "term", "shard", "block_id", "n", "first_doc", "last_doc",
+    "max_tf", "min_dl", "sum_tf", "payload",
+]
 
-def _make_decode_partition(codec: str):
+
+def _make_decode_partition(codecs: list[str]):
     def fn(batches):
-        return _decode_partition(batches, codec)
+        return _decode_partition(batches, codecs)
     return fn
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame], codec: str = "none") -> Iterator[pd.DataFrame]:
-    """Vectorized block decode: one varbyte pass per (term, gen) run."""
+def _decode_partition(batches: Iterator[pd.DataFrame], codecs: list[str]) -> Iterator[pd.DataFrame]:
+    """Vectorized block decode: one varbyte pass per (term, gen) run, each
+    generation decompressed with ITS OWN codec (a zlib payload parsed as raw
+    varbyte would yield garbage postings silently)."""
     for pdf in batches:
         out_term, out_doc, out_tf, out_dl, out_gen = [], [], [], [], []
         for (term, gen), g in pdf.groupby(["term", "gen"], sort=False):
             g = g.sort_values(["shard", "block_id"], kind="stable")
-            d, tf, dl = decode_block_rows(decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy())
+            d, tf, dl = decode_block_rows(
+                decompress_payloads(list(g["payload"]), codecs[int(gen)]),
+                g["n"].to_numpy(),
+            )
             out_term.append(np.full(d.size, term, dtype=object))
             out_doc.append(d)
             out_tf.append(tf)
@@ -85,13 +114,32 @@ def compact_indexes(
     out_dir: str,
     partitions: int | None = None,
     docs: DataFrame | None = None,
+    payload_codec: str | None = None,
 ) -> IndexHandle:
-    """Merge N generation indexes (oldest→newest, newest-wins per doc)."""
-    assert 1 <= len(index_paths) <= MAX_GENERATIONS
+    """Merge N generation indexes (oldest→newest, newest-wins per doc).
+
+    docs, if given, is the authoritative live-doc set: any doc_id absent from
+    it is deleted from the compacted index. payload_codec defaults to the
+    newest generation's codec.
+    """
+    if not 1 <= len(index_paths) <= MAX_GENERATIONS:
+        raise MergeError(
+            f"{len(index_paths)} generations; merge accepts 1..{MAX_GENERATIONS} "
+            f"(grenad max_nb_chunks, src/sorter.rs:21)"
+        )
     handles = [IndexHandle(p) for p in index_paths]
+    codecs = [h.payload_codec for h in handles]
+    out_codec = payload_codec if payload_codec is not None else codecs[-1]
     partitions = partitions or spark.sparkContext.defaultParallelism
     doc_space = max(h.manifest["max_doc"] for h in handles) + 1
     n_shards = max(h.n_shards for h in handles)
+
+    def shard_of(col: str):
+        # same integer floor division as build_segments — boundaries must agree
+        return F.expr(
+            f"CAST(({col} * CAST({int(n_shards)} AS BIGINT)) DIV "
+            f"CAST({int(doc_space)} AS BIGINT) AS INT)"
+        )
 
     seg_union = None
     docs_union = None
@@ -101,17 +149,70 @@ def compact_indexes(
         seg_union = s if seg_union is None else seg_union.unionByName(s)
         docs_union = d if docs_union is None else docs_union.unionByName(d)
 
+    # authoritative deletions: docs present in some generation but absent
+    # from the override set
+    if docs is not None:
+        auth = docs.select("doc_id")
+        deleted_shards = (
+            docs_union.join(auth, "doc_id", "left_anti")
+            .select(shard_of("doc_id").alias("shard"))
+            .distinct()
+        )
+        docs_live_in = docs_union.join(auth, "doc_id", "left_semi")
+    else:
+        deleted_shards = None
+        docs_live_in = docs_union
+
     # doc-level tombstones: newest generation containing each doc wins
-    live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
+    live = docs_live_in.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
     live_docs = (
-        docs_union.join(live, "doc_id")
+        docs_live_in.join(live, "doc_id")
         .filter(F.col("gen") == F.col("live_gen"))
         .select("doc_id", "dl")
     )
 
-    decoded = seg_union.select("term", "gen", "shard", "block_id", "n", "payload").mapInPandas(
-        _make_decode_partition(handles[0].payload_codec), _DECODED_SCHEMA
+    # ---- copy-through split -------------------------------------------------
+    # A generation is copy-eligible only if its shard function equals the
+    # output's (same n_shards AND doc space — shard/block ids then carry over
+    # verbatim) and its payload codec matches the output codec.
+    copy_gens = [
+        i
+        for i, h in enumerate(handles)
+        if h.n_shards == n_shards
+        and h.manifest["max_doc"] + 1 == doc_space
+        and codecs[i] == out_codec
+    ]
+    # shard ownership over ALL generations' membership tables: an output
+    # shard is exclusive iff exactly one generation has docs in it
+    owners = (
+        docs_union.select(shard_of("doc_id").alias("shard"), "gen")
+        .distinct()
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_gens"), F.min("gen").alias("owner_gen"))
+        .filter(F.col("n_gens") == 1)
+        .select("shard", "owner_gen")
     )
+    if deleted_shards is not None:
+        owners = owners.join(deleted_shards, "shard", "left_anti")
+
+    marked = seg_union.join(F.broadcast(owners), "shard", "left")
+    if copy_gens:
+        copy_cond = (
+            F.col("owner_gen").isNotNull()
+            & (F.col("gen") == F.col("owner_gen"))
+            & F.col("gen").isin(copy_gens)
+        )
+    else:
+        copy_cond = F.lit(False)
+    copied = marked.filter(copy_cond).select(*_SEGMENT_COLS)
+    dirty = marked.filter(~F.coalesce(copy_cond, F.lit(False))).select(
+        "term", "gen", "shard", "block_id", "n", "payload"
+    )
+    copied_blocks = copied.count()
+    dirty_blocks = dirty.count()
+
+    # ---- dirty path: decode (per-gen codec) → tombstone filter → re-encode --
+    decoded = dirty.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
     # doc-keyed equi-join; AQE picks broadcast when the live map is small —
     # at web scale both sides shuffle-partition on doc_id (co-partitionable)
     tdt = (
@@ -119,8 +220,9 @@ def compact_indexes(
         .filter(F.col("gen") == F.col("live_gen"))
         .select("term", "doc_id", "tf", "dl")
     )
+    rebuilt = build_segments(tdt, doc_space, n_shards, partitions, payload_codec=out_codec)
 
-    segments = build_segments(tdt, doc_space, n_shards, partitions)
+    segments = rebuilt.unionByName(copied)
     os.makedirs(out_dir, exist_ok=True)
     seg_path = os.path.join(out_dir, "segments")
     (
@@ -141,14 +243,19 @@ def compact_indexes(
     ).first()
 
     manifest = {
-        "format_version": 1,
+        "format_version": CURRENT_FORMAT_VERSION,
         "n_docs": int(st["n_docs"]),
         "avgdl": float(st["avgdl"]),
         "max_doc": int(doc_space - 1),
         "n_shards": int(n_shards),
         "docs_per_shard": handles[-1].manifest.get("docs_per_shard"),
+        "payload_codec": out_codec,
         "partitions": partitions,
         "compacted_from": [os.path.abspath(p) for p in index_paths],
+        # copy-through accounting: decode work is proportional to the DELTA,
+        # not the corpus (dirty_blocks / (copied+dirty) is the touched ratio)
+        "copied_blocks": int(copied_blocks),
+        "decoded_blocks": int(dirty_blocks),
         "segment_files": [
             {"file": f, "bytes": os.path.getsize(os.path.join(seg_path, f))}
             for f in sorted(os.listdir(seg_path))

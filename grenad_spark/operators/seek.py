@@ -72,6 +72,55 @@ def prefix_iter(sorted_df: DataFrame, key_col: str, prefix: str, reverse: bool =
     return out.orderBy(F.desc(key_col)) if reverse else out.orderBy(key_col)
 
 
+def seek_gte_postings(spark, index, keys: list[tuple[int, str, int]]) -> DataFrame:
+    """Batched posting-level gte-seeks — the benches/index-levels.rs:7-46
+    analog (639 gte-seeks per iteration over the multi-level block index).
+
+    keys: [(seek_id, term, target_doc)]. For each key, returns the first
+    posting (doc_id >= target_doc) of that term, found exactly as the
+    reference's two-level descent: (1) block-index level — the unique block
+    with last_doc >= target and minimal first_doc (blocks of a term are
+    doc-disjoint ascending across shards); (2) in-block level — binary search
+    inside the decoded block. ONE Spark job for the whole batch: the pruned
+    block-index scan, a k-row window, and a tiny Arrow decode."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from grenad_spark.functions.varbyte import decode_block, decompress_payload
+
+    codec = index.payload_codec
+    kdf = spark.createDataFrame(keys, "seek_id int, term string, target long")
+    terms = sorted({t for _, t, _ in keys})
+    seg = index.segments(spark).filter(F.col("term").isin(terms))
+    cand = seg.join(F.broadcast(kdf), "term").filter(
+        F.col("last_doc") >= F.col("target")
+    )
+    w = Window.partitionBy("seek_id").orderBy(F.asc("first_doc"))
+    hit_blocks = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("seek_id", "term", "target", "payload")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for seek_id, term, target, payload in zip(
+                pdf["seek_id"], pdf["term"], pdf["target"], pdf["payload"]
+            ):
+                d, tf, _ = decode_block(decompress_payload(payload, codec))
+                i = int(np.searchsorted(d, target))
+                # the block's last_doc >= target, so position i always exists
+                rows.append((int(seek_id), term, int(d[i]), int(tf[i])))
+            yield pd.DataFrame(
+                rows, columns=["seek_id", "term", "doc_id", "tf"]
+            ).astype({"seek_id": "int32", "doc_id": "int64", "tf": "int32"})
+
+    return hit_blocks.mapInPandas(decode, "seek_id int, term string, doc_id long, tf int")
+
+
 def range_iter(
     sorted_df: DataFrame,
     key_col: str,

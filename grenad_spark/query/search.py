@@ -39,6 +39,9 @@ from grenad_spark.index.build import IndexHandle
 from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
 
 
+PRUNE_EPS = 10.0 ** -SCORE_DECIMALS  # rounded-tie slack for WAND prune gates
+
+
 def _tfpart(tf, dl, avgdl):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
@@ -102,6 +105,14 @@ def expand_prefix_queries(
     return sorted(pairs)
 
 
+def _char_bigrams(col):
+    """Array of character bigrams of a string column, JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - 1, F.lit(1))),
+        lambda i: col.substr(i, F.lit(2)),
+    )
+
+
 def expand_fuzzy_queries(
     spark: SparkSession,
     index: IndexHandle,
@@ -110,26 +121,51 @@ def expand_fuzzy_queries(
 ) -> list[tuple[int, str]]:
     """Typo-tolerant expansion: each query term matches every dictionary term
     within `max_edits` Levenshtein distance (the feature Meilisearch builds
-    on grenad's sorted-term files). One vocabulary scan with a broadcast of
-    the query terms; expansions score as ordinary disjuncts. At web scale the
-    vocab scan prunes by length band (|len(t)-len(q)| ≤ max_edits) before the
-    quadratic distance — expressed here so Catalyst filters cheaply first."""
+    on grenad's sorted-term files). Expansions score as ordinary disjuncts.
+
+    N-GRAM PREFILTER (the 10^9-vocabulary path): a term within 1 edit of a
+    query term of length ≥ 4 must share ≥ len(q)-3 ≥ 1 of its character
+    bigrams (one edit destroys at most 2 adjacent bigrams), so candidates
+    come from an equi-join on exploded bigrams — levenshtein runs only on
+    gram-sharing candidates, never on the whole dictionary. On a real
+    deployment the vocab-bigram table is persisted once per index build; here
+    it is a derived plan over term_dict. Query terms shorter than 4 chars
+    (where one edit can destroy every bigram) fall back to a length-banded
+    vocabulary scan — a bounded slice, and rare in real query logs."""
     qt = _tokenize_queries(queries)
-    qdf = spark.createDataFrame(qt, "query_id int, qterm string")
+    long_terms = sorted({(q, t) for q, t in qt if len(t) >= 4})
+    short_terms = sorted({(q, t) for q, t in qt if len(t) < 4})
     vocab = index.term_dict(spark).select("term")
-    matched = (
-        vocab.join(
-            F.broadcast(qdf),
-            (
-                F.abs(F.length("term") - F.length("qterm")) <= max_edits
-            )
-            & (F.levenshtein("term", "qterm") <= max_edits),
-        )
-        .select("query_id", "term")
-        .distinct()
-        .collect()
+    pairs: set[tuple[int, str]] = set()
+    band = (F.abs(F.length("term") - F.length("qterm")) <= max_edits) & (
+        F.levenshtein("term", "qterm") <= max_edits
     )
-    return sorted({(r["query_id"], r["term"]) for r in matched})
+    if long_terms:
+        qdf = spark.createDataFrame(long_terms, "query_id int, qterm string")
+        qgrams = qdf.select(
+            "query_id", "qterm", F.explode(_char_bigrams(F.col("qterm"))).alias("gram")
+        ).distinct()
+        vgrams = vocab.select("term", F.explode(_char_bigrams(F.col("term"))).alias("gram"))
+        matched = (
+            vgrams.join(F.broadcast(qgrams), "gram")
+            .select("query_id", "qterm", "term")
+            .distinct()
+            .filter(band)
+            .select("query_id", "term")
+            .distinct()
+            .collect()
+        )
+        pairs.update((r["query_id"], r["term"]) for r in matched)
+    if short_terms:
+        qdf = spark.createDataFrame(short_terms, "query_id int, qterm string")
+        matched = (
+            vocab.join(F.broadcast(qdf), band)
+            .select("query_id", "term")
+            .distinct()
+            .collect()
+        )
+        pairs.update((r["query_id"], r["term"]) for r in matched)
+    return sorted(pairs)
 
 
 def search_topk_fuzzy(
@@ -247,11 +283,27 @@ def _query_blocks(
 def _query_blocks_from_pairs(
     spark: SparkSession, index: IndexHandle, qt: list[tuple[int, str]]
 ) -> tuple[DataFrame, DataFrame]:
-    qterms = spark.createDataFrame(qt, "query_id int, term string")
+    """Pruned (query_id × matching block rows) with idf attached.
+
+    Fast path: the handle's driver-held df map (vocabulary-gated) computes
+    idf locally and ships it INSIDE the qterms broadcast — one Spark job per
+    query instead of two (no term_dict scan). Fallback for 10^9-term vocabs:
+    broadcast join against term_dict."""
     terms = sorted({t for _, t in qt})
     seg = index.segments(spark).filter(F.col("term").isin(terms))
-    td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
     n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    if dfm is not None:
+        rows = [
+            (q, t, math.log(1.0 + (n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+            for q, t in qt
+            if t in dfm
+        ]
+        qterms = spark.createDataFrame(rows, "query_id int, term string, idf double")
+        blocks = seg.join(F.broadcast(qterms), "term")
+        return blocks, qterms
+    qterms = spark.createDataFrame(qt, "query_id int, term string")
+    td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
     blocks = (
         seg.join(F.broadcast(td), "term")
         .join(F.broadcast(qterms), "term")
@@ -302,15 +354,44 @@ def _search_from_pairs(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
+    n_queries = len({q for q, _ in pairs})
+    # QUERY-SIDE SHARD COALESCING: build-side shards are sized for skew-bounded
+    # encode groups (docs_per_shard), which can be far more groups than query
+    # cores. Consecutive shards are doc-range DISJOINT and ascending, so
+    # merging g of them per scoring group preserves exactness (the group is
+    # still one valid posting-list slice), widens WAND's pruning scope, and
+    # cuts per-group Python overhead by g×.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    g = max(1, -(-max(1, index.n_shards) // par))
+    n_qshards = -(-max(1, index.n_shards) // g)
+    # Explicit right-sized shuffle INTO the scoring groups: the serving job's
+    # data is query-terms-only block rows (KBs-MBs), so the default
+    # shuffle.partitions-wide exchange is pure task-scheduling overhead.
+    # HashPartitioning(query_id, qshard) satisfies applyInPandas's clustering
+    # requirement, so Catalyst inserts NO second exchange.
+    n_groups = max(1, min(par, n_queries * n_qshards))
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "query_id",
+        (F.col("shard") / g).cast("int").alias("qshard"),
+        "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(apply_fn, _OUT_SCHEMA)
+    ).repartition(n_groups, "query_id", "qshard").groupBy(
+        "query_id", "qshard"
+    ).applyInPandas(apply_fn, _OUT_SCHEMA)
 
+    rounded = per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+    if n_queries == 1:
+        # single-query serving: ORDER BY + LIMIT compiles to
+        # TakeOrderedAndProject — no window exchange, the k·shards candidate
+        # rows reduce driver-side in the same job
+        return (
+            rounded.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(kk)
+            .select("query_id", "doc_id", "score")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
-        .withColumn("rn", F.row_number().over(w))
+        rounded.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= kk)
         .select("query_id", "doc_id", "score")
     )
@@ -332,6 +413,11 @@ def _topk_rows(qid: int, doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.
     # tie-break is part of the ranking contract (Hypothesis-caught: a shard
     # top-k that keeps doc 4 but drops doc 1 at equal score is wrong even
     # though the global window re-sorts survivors)
+    # round BEFORE the shard-level truncation: the global window (and the
+    # DuckDB oracle) rank on round(score, SCORE_DECIMALS); truncating on raw
+    # scores could drop a doc that round-ties the kth score with a smaller
+    # doc_id — shard-level and global ordering must use the same key
+    scores = np.round(scores, SCORE_DECIMALS)
     order = np.lexsort((doc_ids, -scores))[:k]
     return pd.DataFrame(
         {"query_id": qid, "doc_id": doc_ids[order], "score": scores[order]}
@@ -459,10 +545,18 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
                 covers = valid & (t["first"][bi_c] <= starts)
                 range_ub[covers] += t["ub"][bi_c[covers]]
             # >= not >: a pruned doc with UB == θ could otherwise tie the kth
-            # score and deserve the slot by doc_id — ties must stay exact
-            survive_ranges = range_ub >= theta
+            # score and deserve the slot by doc_id — ties must stay exact.
+            # The extra PRUNE_EPS slack covers ROUNDED ties: final ranking is
+            # on round(score, SCORE_DECIMALS), so a doc with raw score within
+            # 10^-SCORE_DECIMALS of θ can still round-tie the kth slot
+            survive_ranges = range_ub >= theta - PRUNE_EPS
 
-        # --- phase 3: decode surviving blocks, mask, score, top-k
+        # --- phase 3: decode surviving blocks, mask, score, top-k.
+        # Scoring uses a DENSE scatter over the group's doc range (known
+        # exactly from the block first/last metadata — a block-max payoff):
+        # dense[d - lo] += s is a branchless O(postings) accumulate with no
+        # sort, vs the O(n log n) np.unique merge. Guarded by a width cap so
+        # a sparse group over a huge doc range falls back to the merge path.
         doc_parts, score_parts = [], []
         sur_starts = bounds[:-1][survive_ranges]
         sur_ends = bounds[1:][survive_ranges]
@@ -481,10 +575,30 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
             # mask decoded docs to surviving ranges (exactness at θ ties)
             ridx = np.searchsorted(sur_starts, d, side="right") - 1
             ok = (ridx >= 0) & (d < sur_ends[np.maximum(ridx, 0)])
-            doc_parts.append(d[ok])
-            score_parts.append(s[ok])
+            if ok.any():
+                doc_parts.append(d[ok])
+                score_parts.append(s[ok])
         if not doc_parts:
             return _empty_out()
+        n_post = sum(p.size for p in doc_parts)
+        lo = int(min(int(p[0]) for p in doc_parts))
+        hi = int(max(int(p[-1]) for p in doc_parts))
+        width = hi - lo + 1
+        if width <= max(65536, 8 * n_post):
+            dense = np.zeros(width)
+            for d, s in zip(doc_parts, score_parts):
+                np.add.at(dense, d - lo, s)
+            # θ-filter before the ranking sort: every true top-k doc scores
+            # ≥ θ (θ is a lower bound on the kth score), so keeping
+            # score > θ - PRUNE_EPS (rounded-tie slack) is lossless and cuts
+            # the lexsort to the contender set
+            # clamp at 0 so absent docs (exact 0.0 in the dense array) can
+            # never pass the filter
+            filter_thr = max(theta - PRUNE_EPS, 0.0)
+            cand = np.flatnonzero(dense > filter_thr)
+            if filter_thr > 0.0 and cand.size < k:
+                cand = np.flatnonzero(dense > 0.0)
+            return _topk_rows(qid, cand.astype(np.int64) + lo, dense[cand], k)
         docs = np.concatenate(doc_parts)
         scores = np.concatenate(score_parts)
         uniq, inv = np.unique(docs, return_inverse=True)
@@ -585,7 +699,9 @@ def _make_wand(avgdl: float, k: int, codec: str = "none"):
             pivot_idx = None
             for i, t in enumerate(live):
                 acc += t["ub_term"]
-                if acc > theta:
+                # θ is a rounded score; a raw UB within PRUNE_EPS can still
+                # round-tie the kth slot and win by doc_id
+                if acc > theta - PRUNE_EPS:
                     pivot_idx = i
                     break
             if pivot_idx is None:
@@ -604,7 +720,7 @@ def _make_wand(avgdl: float, k: int, codec: str = "none"):
                         block_ub += float(t["ub_blocks"][bi])
                     else:
                         block_ub += t["ub_term"]  # conservative
-                if block_ub > theta:
+                if block_ub > theta - PRUNE_EPS:
                     score = 0.0
                     for t in live:
                         if t["cur"] == pivot:
@@ -613,6 +729,9 @@ def _make_wand(avgdl: float, k: int, codec: str = "none"):
                             # ensure cursor decoded at pivot position
                             pi = t["pi"]
                             score += float(t["scores"][pi])
+                    # heap decisions on ROUNDED scores so the retained set
+                    # matches the oracle's (round → rank → doc_id tie-break)
+                    score = round(score, SCORE_DECIMALS)
                     if len(heap) < k:
                         heapq.heappush(heap, (score, -pivot))
                         if len(heap) == k:

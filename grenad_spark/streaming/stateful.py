@@ -30,11 +30,17 @@ def _update_term_stats(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     df0, cf0 = state.get if state.exists else (0, 0)
-    df_add = 0
+    # accumulate doc_ids across ALL Arrow chunks before the unique count: a
+    # hot term's postings span multiple chunks (arrow.maxRecordsPerBatch), and
+    # summing per-chunk nunique() double-counts a doc straddling a boundary
+    doc_parts = []
     cf_add = 0
     for pdf in pdfs:
-        df_add += int(pdf["doc_id"].nunique())
+        doc_parts.append(pdf["doc_id"].to_numpy())
         cf_add += len(pdf)
+    import numpy as np
+
+    df_add = int(np.unique(np.concatenate(doc_parts)).size) if doc_parts else 0
     state.update((df0 + df_add, cf0 + cf_add))
     yield pd.DataFrame({"term": [key[0]], "df": [df0 + df_add], "cf": [cf0 + cf_add]})
 

@@ -63,6 +63,56 @@ def test_compaction_newest_generation_wins(spark, tmp_path):
     assert idx.n_docs == 2
 
 
+def test_compaction_copy_through_disjoint_ranges(spark, docs_small, tmp_path):
+    """Doc-range-disjoint generations: the generation whose shard geometry
+    matches the output must have its untouched shards COPIED (byte-identical,
+    never decoded) — grenad's Merger streams untouched runs
+    (src/merger.rs:126-196), it never re-encodes them."""
+    lo = docs_small.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    hi = docs_small.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    p_lo, p_hi = str(tmp_path / "lo"), str(tmp_path / "hi")
+    build_index(spark, lo, p_lo, n_shards=4)
+    # hi holds the global max doc → its shard function (doc*4//500) equals
+    # the compacted output's → its exclusive shards are copy-eligible
+    build_index(spark, hi, p_hi, n_shards=4)
+    compacted = compact_indexes(spark, [p_lo, p_hi], str(tmp_path / "c"))
+    assert compacted.manifest["copied_blocks"] > 0, "no copy-through happened"
+    # decode work proportional to the non-matching generation only
+    assert compacted.manifest["decoded_blocks"] < (
+        compacted.manifest["copied_blocks"] + compacted.manifest["decoded_blocks"]
+    )
+    mono = build_index(spark, docs_small, str(tmp_path / "monoct"), n_shards=4)
+    t_c = sorted(map(tuple, compacted.term_dict(spark).select("term", "df", "cf").collect()))
+    t_m = sorted(map(tuple, mono.term_dict(spark).select("term", "df", "cf").collect()))
+    assert t_c == t_m
+    r_c = _norm(search_topk(spark, compacted, REFERENCE_QUERIES, mode="wand"))
+    r_m = _norm(search_topk(spark, mono, REFERENCE_QUERIES, mode="wand"))
+    assert r_c == r_m
+
+
+def test_compaction_authoritative_docs_deletes(spark, tmp_path):
+    """The docs override is the authoritative live set: a doc absent from it
+    is deleted (grenad: deletion = write a new file without the key,
+    src/lib.rs:9-10), and its shard is excluded from copy-through."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "g0")
+    build_index(spark, corpus, p, n_shards=1)
+    keep = corpus.filter(F.col("doc_id") != 1).select("doc_id")
+    idx = compact_indexes(spark, [p], str(tmp_path / "cdel"), docs=keep)
+    td = {r["term"]: (r["df"], r["cf"]) for r in idx.term_dict(spark).collect()}
+    assert "gamma" not in td  # doc 1's postings fully deleted
+    assert td["alpha"] == (1, 1)  # only doc 0 keeps alpha
+    assert td["beta"] == (2, 3)
+    assert idx.n_docs == 2
+    # single clean generation with no deletions copies through wholesale
+    idx2 = compact_indexes(spark, [p], str(tmp_path / "cnop"))
+    assert idx2.manifest["decoded_blocks"] == 0
+    assert idx2.manifest["copied_blocks"] > 0
+
+
 def test_streaming_incremental_build(spark, docs_small, tmp_path):
     """availableNow stream over 3 corpus files → 3 generations → compact →
     same results as a monolithic build."""

@@ -81,3 +81,64 @@ def test_exact_dedup_keep_first_minimal(spark):
     assert survivors == {1, 3}
     groups = dedup.exact_dedup_groups(df).collect()
     assert len(groups) == 1 and groups[0]["rep_doc"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_hot_shingle_cap_bounds_join_input(spark):
+    """Skew guard: a boilerplate shingle shared by EVERY doc must be dropped
+    before the Jaccard self-join (one hot key would otherwise make an
+    O(n_docs²) join group at web scale)."""
+    from grenad_spark.operators import dedup
+
+    rows = [(i, f"common header boilerplate unique{i} token{i} tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares the 'common header boilerplate' trigram family
+    pairs_capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.1, max_df=5, log_dropped=True
+    )
+    assert pairs_capped.count() == 0  # only boilerplate overlaps -> all dropped
+    # with the cap inert, the shared shingles connect every pair
+    pairs_uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=10**9)
+    assert pairs_uncapped.count() > 0
+    # the capped shingle stream itself is bounded: no shingle with df > cap
+    sh = dedup.shingles(docs)
+    capped = (
+        sh.join(sh.groupBy("shingle").count(), "shingle")
+        .filter("count <= 5")
+        .count()
+    )
+    from pyspark.sql import functions as F
+
+    sdf_max = (
+        dedup.shingles(docs).groupBy("shingle").count().agg(F.max("count")).first()[0]
+    )
+    assert sdf_max == 40  # the skew exists in the raw stream...
+    assert capped < sh.count()  # ...and the cap removed it
+
+
+def test_embedding_dedup_bucketed_equals_bruteforce(spark, emb):
+    """The LSH-bucketed plan must find exactly the all-pairs result at the
+    contract threshold (crossJoin survives only as this oracle)."""
+    from grenad_spark.operators import dedup
+
+    bucketed = set(
+        map(tuple, dedup.embedding_dup_pairs(emb, 0.45).select("vec_a", "vec_b").collect())
+    )
+    brute = set(
+        map(
+            tuple,
+            dedup.embedding_dup_pairs_bruteforce(emb, 0.45)
+            .select("vec_a", "vec_b")
+            .collect(),
+        )
+    )
+    assert bucketed == brute and len(brute) > 0
+
+
+def test_embedding_dedup_plan_has_no_cartesian(spark, emb):
+    """Scale gate: the optimized embedding-dedup plan must not contain a
+    cartesian/nested-loop product anywhere."""
+    from grenad_spark.operators import dedup
+
+    plan = dedup.embedding_dup_pairs(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

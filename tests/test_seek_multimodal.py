@@ -157,3 +157,25 @@ def test_metadata_plan_prunes_payload(spark, docs_small):
     meta_only = fresh.groupBy("media_type").count()
     plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_seek_gte_postings_vs_oracle(spark, docs_small, index_small):
+    """Batched posting-level gte-seek (benches/index-levels.rs analog) must
+    equal the direct term_doc_tf lookup for every key."""
+    from grenad_spark.functions.tokenize import term_doc_tf
+    from grenad_spark.operators.seek import seek_gte_postings
+
+    tdt = term_doc_tf(docs_small).toPandas()
+    terms = sorted(tdt["term"].unique())
+    max_doc = int(tdt["doc_id"].max())
+    keys = [(i, terms[i % len(terms)], (i * 9973) % (max_doc + 50)) for i in range(60)]
+    got = {
+        int(r["seek_id"]): (int(r["doc_id"]), int(r["tf"]))
+        for r in seek_gte_postings(spark, index_small, keys).collect()
+    }
+    for sid, term, target in keys:
+        sub = tdt[(tdt.term == term) & (tdt.doc_id >= target)].sort_values("doc_id")
+        if len(sub) == 0:
+            assert sid not in got, (sid, term, target)
+        else:
+            assert got[sid] == (int(sub.iloc[0].doc_id), int(sub.iloc[0].tf)), (sid, term, target)

@@ -86,7 +86,9 @@ def test_posting_blocks_roundtrip(p):
 
 
 def test_encode_rejects_unsorted():
-    with pytest.raises(AssertionError):
+    from grenad_spark.errors import InvalidKeyOrder
+
+    with pytest.raises(InvalidKeyOrder):
         encode_posting_blocks(
             np.array([5, 3]), np.array([1, 1]), np.array([1, 1])
         )
