@@ -257,6 +257,21 @@ def main() -> None:
         f"{batch_sec:.3f}s = {batch_sec / len(REFERENCE_QUERIES):.3f}s/query"
     )
 
+    # decode-once-score-many batch: each distinct block ships ONCE regardless
+    # of how many queries reference its term (shuffle ∝ index slice, not
+    # queries × slice)
+    from grenad_spark.query.search import search_topk_shared
+
+    search_topk_shared(spark, idx, REFERENCE_QUERIES, k=10).collect()  # warm
+    t0 = time.time()
+    search_topk_shared(spark, idx, REFERENCE_QUERIES, k=10).collect()
+    shared_sec = time.time() - t0
+    queries["shared_batch_all"] = round(shared_sec, 3)
+    log(
+        f"shared-decode batch ({len(REFERENCE_QUERIES)} queries, one job): "
+        f"{shared_sec:.3f}s = {shared_sec / len(REFERENCE_QUERIES):.3f}s/query"
+    )
+
     # seek-throughput microbench — the reference bench shape
     # (benches/index-levels.rs:7-46: N_SEEKS gte-seeks per iteration across
     # the block-index levels), batched as one job per iteration
@@ -287,6 +302,54 @@ def main() -> None:
         f"single-seek {seek_single:.3f}s)"
     )
 
+    # WAND pruning showcase — the base synthetic corpus has a 31-term vocab
+    # with df ≈ 78% of docs (adversarially uniform: block-max pruning cannot
+    # fire by construction, so wand ≈ exhaustive there). Real web corpora are
+    # zipfian; this leg appends ONE deterministic rare token per doc
+    # (977 rare terms, df ≈ n/977) and serves mixed rare+common queries where
+    # the common-only doc ranges die against θ — the economics the block
+    # metadata exists for.
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import build_index
+
+    zdocs, zn = replicated_docs(spark, SF_DIR, max(1, REPL // 4))
+    zdocs = zdocs.select(
+        "doc_id",
+        F.concat("text", F.lit(" zzz"), (F.col("doc_id") % 977).cast("string")).alias("text"),
+    )
+    build_index(spark, zdocs, "/tmp/bench_idx_zipf", overwrite=True,
+                partitions=PLAN_PARTITIONS, docs_per_shard=5000)
+    zidx = IndexHandle("/tmp/bench_idx_zipf")
+    zqueries = [(i, f"zzz{(i * 13) % 977} data stream") for i in range(64)]
+    zres = {}
+    for mode in ("wand", "exhaustive"):
+        search_topk(spark, zidx, zqueries[:4], k=10, mode=mode).collect()  # warm
+    zt = {"wand": float("inf"), "exhaustive": float("inf")}
+    for _ in range(2):
+        for mode in ("wand", "exhaustive"):
+            t0 = time.time()
+            zres[mode] = sorted(map(tuple, search_topk(spark, zidx, zqueries, k=10, mode=mode).collect()))
+            zt[mode] = min(zt[mode], time.time() - t0)
+    assert zres["wand"] == zres["exhaustive"], "zipf wand/exhaustive diverged"
+    queries["zipf_batch64_wand"] = round(zt["wand"], 3)
+    queries["zipf_batch64_exhaustive"] = round(zt["exhaustive"], 3)
+    zshared = float("inf")
+    zs_res = None
+    for _ in range(2):
+        t0 = time.time()
+        zs_res = sorted(map(tuple, search_topk_shared(spark, zidx, zqueries, k=10).collect()))
+        zshared = min(zshared, time.time() - t0)
+    assert zs_res == zres["exhaustive"], "zipf shared batch diverged"
+    queries["zipf_batch64_shared"] = round(zshared, 3)
+    log(
+        f"zipf pruning showcase (64 mixed rare+common queries, one job, "
+        f"{zn} docs): wand={zt['wand']:.3f}s exhaustive={zt['exhaustive']:.3f}s "
+        f"shared-decode={zshared:.3f}s (results identical; wand speedup "
+        f"{zt['exhaustive'] / zt['wand']:.2f}x, shared "
+        f"{zt['exhaustive'] / zshared:.2f}x)"
+    )
+
     total = time.time() - t_suite
     result = {
         "metric": "index_build_plus_bm25_suite_seconds",
@@ -306,8 +369,11 @@ def main() -> None:
         "bm25_p50_sec_wand": round(p50w, 3),
         "bm25_p50_sec_exhaustive": round(p50e, 3),
         "bm25_batched_sec_per_query_wand": round(batch_sec / len(REFERENCE_QUERIES), 4),
+        "bm25_batched_sec_per_query_shared": round(shared_sec / len(REFERENCE_QUERIES), 4),
         "seek_batch_seeks_per_sec": round(seeks_per_sec, 1),
         "seek_single_sec": round(seek_single, 4),
+        "zipf_wand_speedup": round(zt["exhaustive"] / zt["wand"], 2),
+        "zipf_shared_speedup": round(zt["exhaustive"] / zshared, 2),
     }
     print(json.dumps(result), flush=True)
 

@@ -681,6 +681,78 @@ def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.term_dict(spark).select("term", "df", "cf")
 
 
+_N_SEEK_KEYS = 100
+
+_SEEK_BATCH_ORACLE = f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+vocab AS (SELECT list_sort(list(DISTINCT term)) AS ts FROM tdt),
+md AS (SELECT max(doc_id) AS m FROM documents),
+keys AS (
+  SELECT s.i::INT AS seek_id,
+         vocab.ts[(s.i % len(vocab.ts))::INT + 1] AS term,
+         (s.i * 9973) % (md.m + 1) AS target
+  FROM generate_series(0, {_N_SEEK_KEYS - 1}) s(i), vocab, md
+)
+SELECT seek_id, term, doc_id, tf FROM (
+  SELECT k.seek_id, k.term, p.doc_id, p.tf,
+         row_number() OVER (PARTITION BY k.seek_id ORDER BY p.doc_id) AS rn
+  FROM keys k JOIN tdt p ON p.term = k.term AND p.doc_id >= k.target
+) WHERE rn = 1
+"""
+
+
+@register("seek_gte_batch", _SEEK_BATCH_ORACLE)
+def q_seek_gte_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched posting-level gte-seeks through the persisted block index —
+    the benches/index-levels.rs:7-46 shape (multi-level descent: pruned
+    block-index scan, then in-block binary search), oracle-gated against a
+    direct first-posting-≥-target lookup."""
+    from grenad_spark.operators.seek import seek_gte_postings
+
+    idx = build_or_get_index(spark, sf_dir)
+    terms = sorted(idx.df_map(spark))
+    doc_space = idx.manifest["max_doc"] + 1
+    keys = [
+        (i, terms[i % len(terms)], (i * 9973) % doc_space)
+        for i in range(_N_SEEK_KEYS)
+    ]
+    return seek_gte_postings(spark, idx, keys)
+
+
+@register(
+    "term_dict_compacted_deletes",
+    "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+    f"FROM ({sql_term_doc_tf('documents')}) WHERE doc_id % 7 <> 0 GROUP BY term",
+)
+def q_term_dict_compacted_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion semantics oracle-gated: compacting with an authoritative
+    live-doc set that excludes every 7th doc must equal the direct
+    aggregation over the surviving docs (grenad: deletion = write a new file
+    without the key, src/lib.rs:9-10)."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    ckey = f"compactdel{key}"
+    if ckey not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        out = f"/tmp/grenad_compactdel{key}"
+        gens = []
+        for i in range(2):
+            p = f"{out}_gen{i}"
+            build_index(
+                spark,
+                docs.filter(F.col("doc_id") % 2 == i).select("doc_id", "text"),
+                p,
+                n_shards=2,
+                overwrite=True,
+            )
+            gens.append(p)
+        keep = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id")
+        _INDEX_CACHE[ckey] = compact_indexes(spark, gens, out + "_merged", docs=keep)
+    return _INDEX_CACHE[ckey].term_dict(spark).select("term", "df", "cf")
+
+
 @register(
     "term_dict_compacted",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

@@ -397,6 +397,111 @@ def _search_from_pairs(
     )
 
 
+def search_topk_shared(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """DECODE-ONCE, SCORE-MANY batch serving.
+
+    The per-query paths join query_ids onto block rows, so a batch of Q
+    queries sharing common terms shuffles each payload up to Q times — at a
+    64-query batch that duplication dominates wall clock. This path ships
+    every distinct (term, qshard) block exactly ONCE (shuffle ∝ index slice,
+    not Q × slice), decodes each term once per group, and scores all queries
+    against the decoded arrays inside one UDF pass — the standard batch shape
+    of production search tiers. Results are identical to mode='exhaustive'
+    (asserted in tests/test_search.py).
+
+    Requires the driver-held df map (vocab-gated); falls back to the
+    per-query batched WAND path on huge vocabularies."""
+    pairs = _tokenize_queries(queries)
+    dfm = index.df_map(spark)
+    if dfm is None:  # 10^9-term vocab: no driver idf map — per-query path
+        return _search_from_pairs(spark, index, pairs, k, "wand")
+    n_docs = float(index.n_docs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    kk = int(k)
+    # (query_id, term, idf) resolved driver-side; terms absent from the
+    # vocabulary score nothing and drop here
+    qinfo = [
+        (q, t, math.log(1.0 + (n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+        for q, t in pairs
+        if t in dfm
+    ]
+    terms = sorted({t for _, t, _ in qinfo})
+    if not terms:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    g = max(1, -(-max(1, index.n_shards) // par))
+    n_qshards = -(-max(1, index.n_shards) // g)
+
+    seg = index.segments(spark).filter(F.col("term").isin(terms))
+    blocks = seg.select(
+        (F.col("shard") / g).cast("int").alias("qshard"),
+        "term", "n", "payload",
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decode each term ONCE: (docs, tfpart) — idf applied per query-term
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, gdf in pdf.groupby("term", sort=False):
+            d, tf, dl = decode_block_rows(
+                decompress_payloads(list(gdf["payload"]), codec), gdf["n"].to_numpy()
+            )
+            decoded[term] = (d, _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl))
+        if not decoded:
+            return _empty_out()
+        sizes = [d.size for d, _ in decoded.values() if d.size]
+        if not sizes:
+            return _empty_out()
+        # block rows arrive in shuffle order (NOT doc order) — min/max, not
+        # first/last elements
+        lo = min(int(d.min()) for d, _ in decoded.values() if d.size)
+        hi = max(int(d.max()) for d, _ in decoded.values() if d.size)
+        width = hi - lo + 1
+        use_dense = width <= max(65536, 8 * sum(sizes))
+        outs = []
+        by_query: dict[int, list[tuple[str, float]]] = {}
+        for q, t, idf in qinfo:
+            if t in decoded:
+                by_query.setdefault(q, []).append((t, idf))
+        dense = np.zeros(width) if use_dense else None
+        for q, tlist in by_query.items():
+            if use_dense:
+                dense[:] = 0.0
+                for t, idf in tlist:
+                    d, tfp = decoded[t]
+                    np.add.at(dense, d - lo, idf * tfp)
+                cand = np.flatnonzero(dense > 0.0)
+                if cand.size:
+                    outs.append(_topk_rows(q, cand.astype(np.int64) + lo, dense[cand], kk))
+            else:  # sparse group over a huge doc range: sort-merge path
+                ds = np.concatenate([decoded[t][0] for t, _ in tlist])
+                ss = np.concatenate([i * decoded[t][1] for t, i in tlist])
+                uniq, inv = np.unique(ds, return_inverse=True)
+                agg = np.zeros(uniq.size)
+                np.add.at(agg, inv, ss)
+                outs.append(_topk_rows(q, uniq, agg, kk))
+        if not outs:
+            return _empty_out()
+        return pd.concat(outs, ignore_index=True)
+
+    per_shard = blocks.repartition(n_qshards, "qshard").groupBy("qshard").applyInPandas(
+        fn, _OUT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def _empty_out() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -504,10 +609,17 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
             s = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             return d, s
 
-        # --- phase 1: θ₀ from the best block of the highest-impact term
+        # --- phase 1: θ₀ from the best blocks of the highest-impact term.
+        # Take blocks in descending-UB order until the seed holds ≥ k docs:
+        # one block of a RARE term (the highest-impact term on zipfian
+        # corpora) can hold < k postings, which would leave θ = -1 and
+        # disable pruning exactly where it matters most.
         best_t = max(terms, key=lambda t: float(t["ub"].max()))
-        seed_b = int(np.argmax(best_t["ub"]))
-        seed_docs, _ = decode_term_blocks(best_t, np.array([seed_b]))
+        ub_order = np.argsort(-best_t["ub"], kind="stable")
+        acc_docs = np.cumsum(best_t["ns"][ub_order])
+        n_seed_blocks = int(np.searchsorted(acc_docs, k)) + 1
+        seed_bi = np.sort(ub_order[:n_seed_blocks])
+        seed_docs, _ = decode_term_blocks(best_t, seed_bi)
         seed_scores = np.zeros(seed_docs.size)
         for t in terms:
             # blocks of t containing any seed doc

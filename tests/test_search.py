@@ -110,3 +110,14 @@ def test_point_lookup_prunes_segments(spark, index_small):
     seg = index_small.segments(spark).filter(F.col("term") == "spark")
     plan = seg._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "spark" in plan
+
+
+def test_shared_batch_equals_exhaustive(spark, docs_small, index_small):
+    """Decode-once-score-many batch serving must be rank/score-identical to
+    the per-query exhaustive path."""
+    from grenad_spark.query.bm25 import REFERENCE_QUERIES
+    from grenad_spark.query.search import search_topk, search_topk_shared
+
+    a = sorted(map(tuple, search_topk_shared(spark, index_small, REFERENCE_QUERIES, k=10).collect()))
+    b = sorted(map(tuple, search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive").collect()))
+    assert a == b and len(a) > 0
