@@ -237,6 +237,16 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand")
 
 
+@register("bm25_topk_shared", bm25.bm25_oracle_sql())
+def q_bm25_topk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-once-score-many batch serving path (each distinct block ships
+    through the shuffle exactly once), gated by the same BM25 oracle."""
+    from grenad_spark.query.search import search_topk_shared
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_shared(spark, idx, bm25.REFERENCE_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Relational glue the engine gets from Catalyst (joins, multi-agg, date
 # filters) — exercised TPC-H-style so the oracle gate covers them.
@@ -591,6 +601,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenad_spark.corpus import load_embeddings
 
     return ann.ivf_topk(load_embeddings(spark, sf_dir))
+
+
+@register("ann_ivf_kmeans_topk", ann.sql_ivf_kmeans_topk())
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL Lloyd quantizer — k-means in integer-quantized space
+    (element sums are exact in any order, so centroids are bit-identical
+    across engines), fully oracle-gated including both Lloyd iterations."""
+    from grenad_spark.corpus import load_embeddings
+
+    return ann.ivf_kmeans_topk(load_embeddings(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

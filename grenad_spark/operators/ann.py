@@ -294,6 +294,164 @@ def ivf_topk(
     )
 
 
+def _assign_cells(v: DataFrame, cents: DataFrame, vec_col: str = "qv") -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine, cell_id tie-break."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(_cos(F.col(vec_col), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("ccos", "rn", "cv", "cell_rank")
+    )
+
+
+def kmeans_centroids(
+    v: DataFrame, n_cells: int, iters: int, dim: int = EMB_DIM
+) -> DataFrame:
+    """Deterministic Lloyd k-means over INTEGER-QUANTIZED vectors.
+
+    Init: md5-rank-selected seeds. Update: element-wise mean — sums of
+    integer-valued doubles are exact in ANY accumulation order (< 2^53), so
+    the centroids are bit-identical across engines and run-to-run, unlike a
+    float k-means whose partial-sum order varies. v needs (vec_id, qv)."""
+    cents = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"))
+    )
+    for _ in range(iters):
+        a = _assign_cells(v.select("vec_id", "qv"), cents)
+        aggs = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
+        g = a.groupBy("cell_id").agg(*aggs, F.count("*").alias("nn"))
+        cents = g.select(
+            "cell_id",
+            F.array(*[F.col(f"s{i}") / F.col("nn") for i in range(dim)]).alias("cv"),
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF with a REAL (Lloyd) quantizer instead of raw seed vectors:
+    iters k-means rounds in integer-quantized space (deterministic and
+    engine-exact), then the standard assign/probe/rerank dataflow. At scale
+    the Lloyd rounds are iters broadcast-join + groupBy passes — the same
+    shape Spark MLlib uses, kept here as plain DataFrame ops so the whole
+    operator stays oracle-checkable."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * QUANT, 0)).alias("qv"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    cents = kmeans_centroids(base.select("vec_id", "qv"), n_cells, iters, dim)
+    assigned = _assign_cells(base.select("vec_id", "qv", "dv"), cents).select(
+        "vec_id", "dv", "cell_id"
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"), F.col("dv").alias("qdv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(_cos(F.col("qqv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qdv", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", F.round(_cos(F.col("qdv"), F.col("dv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+def sql_ivf_kmeans_topk(
+    k: int = DEFAULT_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+) -> str:
+    sums = ", ".join(f"sum(qv[{i + 1}]) AS s{i}" for i in range(dim))
+    mean_list = "[" + ", ".join(f"s{i} / nn" for i in range(dim)) + "]"
+    sql = f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(x::DOUBLE * {QUANT})) AS qv,
+                  embedding::DOUBLE[] AS dv
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM v ORDER BY md5(vec_id::VARCHAR) LIMIT {n_cells})"""
+    prev = "c0"
+    for it in range(iters):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, qv, cell_id FROM (
+    SELECT v.vec_id, v.qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.qv, c.cv), 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{it + 1} AS (
+  SELECT cell_id, {mean_list} AS cv FROM (
+    SELECT cell_id, {sums}, count(*) AS nn FROM a{it} GROUP BY cell_id
+  )
+)"""
+        prev = f"c{it + 1}"
+    sql += f""",
+assigned AS (
+  SELECT vec_id, dv, cell_id FROM (
+    SELECT v.vec_id, v.dv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.qv, c.cv), 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, qv AS qqv, dv AS qdv FROM v WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qdv, cell_id FROM (
+    SELECT q.query_id, q.qdv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qqv, c.cv), 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qdv, a.vec_id, a.dv
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, round(list_cosine_similarity(qdv, dv), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qdv, dv), 6) DESC, vec_id ASC
+         ) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
+    return sql
+
+
 def sql_ivf_topk(
     k: int = DEFAULT_K,
     n_queries: int = N_QUERIES,

@@ -142,3 +142,12 @@ def test_embedding_dedup_plan_has_no_cartesian(spark, emb):
     plan = dedup.embedding_dup_pairs(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, emb):
+    """Lloyd-quantized IVF should recall at least as well as the raw-seed
+    IVF at the same probe budget (better centroids, same dataflow)."""
+    exact = _topk_sets(ann.brute_force_topk(emb, k=10))
+    approx = _topk_sets(ann.ivf_kmeans_topk(emb, k=10, n_cells=8, nprobe=4))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.4, recalls
