@@ -80,13 +80,13 @@ def varbyte_decode(data: bytes) -> np.ndarray:
 # posting blocks (strided: doc gap + per-posting int columns)
 # ---------------------------------------------------------------------------
 
-def _interleave(doc_ids: np.ndarray, cols: list[np.ndarray]) -> np.ndarray:
+def _interleave(doc_ids: np.ndarray, cols: list[np.ndarray], block_size: int = BLOCK_SIZE) -> np.ndarray:
     n = doc_ids.size
     stride = 1 + len(cols)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_ids[0]
     gaps[1:] = np.diff(doc_ids).astype(np.uint64)
-    starts = np.arange(0, n, BLOCK_SIZE)
+    starts = np.arange(0, n, block_size)
     gaps[starts] = doc_ids[starts].astype(np.uint64)  # block restart points
     flat = np.empty(stride * n, dtype=np.uint64)
     flat[0::stride] = gaps
@@ -96,7 +96,7 @@ def _interleave(doc_ids: np.ndarray, cols: list[np.ndarray]) -> np.ndarray:
 
 
 def encode_posting_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
 ) -> list[tuple[int, int, int, int, int, int, bytes]]:
     """Encode one term's postings as independent per-block payloads.
 
@@ -118,12 +118,12 @@ def encode_posting_blocks(
         from grenad_spark.errors import InvalidKeyOrder
 
         raise InvalidKeyOrder("doc_ids must be strictly increasing")
-    flat = _interleave(doc_ids, [tfs, dls])
+    flat = _interleave(doc_ids, [tfs, dls], block_size)
     lens = varbyte_lengths(flat)
     byte_cum = np.concatenate(([0], np.cumsum(lens)))
     payload = varbyte_encode(flat)
-    starts = np.arange(0, n, BLOCK_SIZE)
-    ends = np.minimum(starts + BLOCK_SIZE, n)
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
     bstart = byte_cum[STRIDE * starts]
     bend = np.append(bstart[1:], byte_cum[-1])
     max_tf = np.maximum.reduceat(tfs, starts)

@@ -62,13 +62,13 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _make_encode_stream(payload_codec: str = "none"):
+def _make_encode_stream(payload_codec: str = "none", block_size: int | None = None):
     def fn(batches):
-        return _encode_partition_stream(batches, payload_codec)
+        return _encode_partition_stream(batches, payload_codec, block_size)
     return fn
 
 
-def _encode_partition_stream(batches, payload_codec: str = "none") -> "pd.DataFrame":
+def _encode_partition_stream(batches, payload_codec: str = "none", block_size: int | None = None) -> "pd.DataFrame":
     """Sorter::write_chunk analog, partition-at-a-time.
 
     Input: Arrow batches of one shuffle partition of the RAW token stream
@@ -111,7 +111,10 @@ def _encode_partition_stream(batches, payload_codec: str = "none") -> "pd.DataFr
         else:
             tf = np.add.reduceat(tf_col[s:e], first_idx)
         for block_id, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
-            encode_posting_blocks(uniq_docs, tf, dl[s:e][first_idx])
+            encode_posting_blocks(
+                uniq_docs, tf, dl[s:e][first_idx],
+                *( [block_size] if block_size else [] ),
+            )
         ):
             if payload_codec != "none":
                 from grenad_spark.functions.varbyte import compress_payload
@@ -162,6 +165,7 @@ def build_segments(
     n_shards: int,
     partitions: int | None = None,
     payload_codec: str = "none",
+    block_size: int | None = None,
 ) -> DataFrame:
     """(term, doc_id, dl) raw token stream -> segment block rows.
 
@@ -187,7 +191,7 @@ def build_segments(
     return (
         sharded.repartition(partitions, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(_make_encode_stream(payload_codec), SEGMENT_SCHEMA)
+        .mapInPandas(_make_encode_stream(payload_codec, block_size), SEGMENT_SCHEMA)
     )
 
 
@@ -212,8 +216,11 @@ def build_index(
     overwrite: bool = False,
     compression: str = "zstd",
     payload_codec: str = "none",
+    block_size: int | None = None,
 ) -> "IndexHandle":
-    """Run the full build; resumable per-stage. docs needs (doc_id, text)."""
+    """Run the full build; resumable per-stage. docs needs (doc_id, text).
+    block_size = postings per block (grenad WriterBuilder::block_size analog;
+    default BLOCK_SIZE=128)."""
     t0 = time.time()
     # AQE off for the build: every partitioning here is explicit (repartition
     # on (term, shard), range write), so adaptive re-planning only inserts
@@ -227,7 +234,7 @@ def build_index(
             spark, docs, out_dir, t0,
             partitions=partitions, docs_per_shard=docs_per_shard,
             n_shards=n_shards, overwrite=overwrite, compression=compression,
-            payload_codec=payload_codec,
+            payload_codec=payload_codec, block_size=block_size,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -245,6 +252,7 @@ def _build_index_inner(
     overwrite: bool,
     compression: str,
     payload_codec: str,
+    block_size: int | None = None,
 ) -> "IndexHandle":
     if overwrite and os.path.exists(out_dir):
         import shutil
@@ -299,7 +307,7 @@ def _build_index_inner(
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
         ts = time.time()
-        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions, payload_codec)
+        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions, payload_codec, block_size)
         # Materialize block rows before the range write: repartitionByRange
         # SAMPLES its child to pick boundaries, which would re-run the whole
         # tokenize→shuffle→encode pipeline a second time. Block rows are
@@ -348,6 +356,7 @@ def _build_index_inner(
             "n_shards": int(n_shards),
             "docs_per_shard": docs_per_shard,
             "payload_codec": payload_codec,
+            "block_size": block_size,
             "partitions": partitions,
             "stage_seconds": {k: round(v, 3) for k, v in stage_secs.items()},
             "build_seconds": round(time.time() - t0, 3),

@@ -121,3 +121,24 @@ def test_shared_batch_equals_exhaustive(spark, docs_small, index_small):
     a = sorted(map(tuple, search_topk_shared(spark, index_small, REFERENCE_QUERIES, k=10).collect()))
     b = sorted(map(tuple, search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive").collect()))
     assert a == b and len(a) > 0
+
+
+def test_configurable_block_size(spark, docs_small, tmp_path):
+    """WriterBuilder::block_size analog: a 32-posting block build must cap
+    every block at 32 and search identically to the default layout."""
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import build_index
+    from grenad_spark.query.bm25 import REFERENCE_QUERIES
+    from grenad_spark.query.search import search_topk
+
+    idx32 = build_index(
+        spark, docs_small, str(tmp_path / "bs32"), n_shards=2, block_size=32
+    )
+    assert idx32.manifest["block_size"] == 32
+    max_n = idx32.segments(spark).agg(F.max("n")).first()[0]
+    assert max_n <= 32
+    idx_def = build_index(spark, docs_small, str(tmp_path / "bsdef"), n_shards=2)
+    a = sorted(map(tuple, search_topk(spark, idx32, REFERENCE_QUERIES, k=10, mode="wand").collect()))
+    b = sorted(map(tuple, search_topk(spark, idx_def, REFERENCE_QUERIES, k=10, mode="wand").collect()))
+    assert a == b and len(a) > 0
