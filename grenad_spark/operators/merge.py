@@ -86,5 +86,12 @@ def merge_sorted_union(
     union = tagged[0]
     for s in tagged[1:]:
         union = union.unionByName(s)
+    if merge_name not in MERGE_FUNCTIONS:
+        from grenad_spark.errors import MergeError
+
+        raise MergeError(
+            f"unknown merge function {merge_name!r}; registered: "
+            f"{sorted(MERGE_FUNCTIONS)}"
+        )
     merged = MERGE_FUNCTIONS[merge_name](union, key, value)
     return sorted_run(merged, num_partitions, key)

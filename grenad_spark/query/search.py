@@ -64,15 +64,19 @@ def _tokenize_queries(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
 
 
 def expand_prefix_queries(
-    spark: SparkSession, index: IndexHandle, queries: list[tuple[int, str]]
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    max_expansions: int | None = None,
 ) -> list[tuple[int, str]]:
     """Expand trailing-`*` terms against the term dictionary — the PrefixIter
     query path (reference src/reader/prefix_iter.rs:8-94, used by Meilisearch
     for prefix/typo search). `spar*` becomes every dictionary term in
     [spar, spas) via one pruned term_dict scan; expanded terms then score as
     ordinary disjuncts. At web scale a 1-char prefix can expand to millions
-    of terms — production would cap by descending df; the corpus vocabulary
-    here is small so expansion is uncapped.
+    of terms — max_expansions caps each prefix to its highest-df expansions
+    (what Meilisearch's prefix databases precompute); the contract queries
+    run uncapped because the test vocabulary is small.
     """
     import re
 
@@ -97,7 +101,23 @@ def expand_prefix_queries(
             succ = advance_str(p)
             c = (F.col("term") >= p) & (F.col("term") < succ) if succ else (F.col("term") >= p)
             cond = c if cond is None else (cond | c)
-        matched = [r["term"] for r in index.term_dict(spark).filter(cond).select("term").collect()]
+        matched_df = index.term_dict(spark).filter(cond).select("term", "df")
+        if max_expansions is not None:
+            # per-prefix top-df cap: rank expansions inside each prefix range
+            # (deterministic tie-break on term)
+            from pyspark.sql.window import Window
+
+            whens = None
+            for _, p in sorted(set(prefixes)):
+                c = F.when(F.col("term").startswith(p), F.lit(p))
+                whens = c if whens is None else whens.when(F.col("term").startswith(p), F.lit(p))
+            w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+            matched_df = (
+                matched_df.withColumn("prefix", whens)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_expansions)
+            )
+        matched = [r["term"] for r in matched_df.select("term").collect()]
         for qid, p in prefixes:
             for t in matched:
                 if t.startswith(p):
@@ -263,9 +283,10 @@ def search_topk_prefix(
     queries: list[tuple[int, str]],
     k: int = 10,
     mode: str = "wand",
+    max_expansions: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 where query terms may end in `*` (prefix expansion)."""
-    pairs = expand_prefix_queries(spark, index, queries)
+    pairs = expand_prefix_queries(spark, index, queries, max_expansions)
     return _search_from_pairs(spark, index, pairs, k, mode)
 
 

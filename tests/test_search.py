@@ -142,3 +142,30 @@ def test_configurable_block_size(spark, docs_small, tmp_path):
     a = sorted(map(tuple, search_topk(spark, idx32, REFERENCE_QUERIES, k=10, mode="wand").collect()))
     b = sorted(map(tuple, search_topk(spark, idx_def, REFERENCE_QUERIES, k=10, mode="wand").collect()))
     assert a == b and len(a) > 0
+
+
+def test_prefix_expansion_df_cap(spark, index_small):
+    """max_expansions keeps only the highest-df expansions per prefix (the
+    web-scale guard for 1-char prefixes)."""
+    from grenad_spark.query.search import expand_prefix_queries
+
+    full = expand_prefix_queries(spark, index_small, [(1, "s*")])
+    capped = expand_prefix_queries(spark, index_small, [(1, "s*")], max_expansions=2)
+    assert len(full) > 2
+    assert len(capped) == 2
+    assert set(capped) <= set(full)
+    # the kept terms are exactly the top-2 by (df desc, term asc)
+    dfm = index_small.df_map(spark)
+    expected = sorted((t for _, t in full), key=lambda t: (-dfm[t], t))[:2]
+    assert {t for _, t in capped} == set(expected)
+
+
+def test_unknown_merge_function_raises(spark):
+    from grenad_spark.errors import MergeError
+    from grenad_spark.operators.merge import merge_sorted_union
+
+    kv = spark.createDataFrame([(1, "a", 0, 0)], "key long, value string, source_id int, seq long")
+    import pytest as _pytest
+
+    with _pytest.raises(MergeError):
+        merge_sorted_union([kv], "median_of_medians")
