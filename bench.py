@@ -226,12 +226,14 @@ def main() -> None:
     # warm-up both modes (JVM JIT, file listing, idf map, python workers) —
     # measuring one mode first otherwise hands the second mode a warmer JIT
     for mode in ("wand", "exhaustive"):
-        for qid, q in REFERENCE_QUERIES[:4]:
+        for qid, q in REFERENCE_QUERIES[:6]:
             search_topk(spark, idx, [(qid, q)], k=10, mode=mode).collect()
-    # INTERLEAVED min-of-3 per query: de-noises one-sided scheduling jitter
-    # and removes mode-order bias
+    # INTERLEAVED min-of-5 per query: de-noises one-sided scheduling jitter
+    # and removes mode-order bias (the real per-group UDF gap — wand is
+    # 3-7 ms/group cheaper via dense-scatter + θ-filter — is smaller than
+    # single-shot host noise, so minima need several samples)
     lat: dict[str, dict[int, float]] = {"wand": {}, "exhaustive": {}}
-    for _rep in range(3):
+    for _rep in range(5):
         for qid, q in REFERENCE_QUERIES:
             for mode in ("wand", "exhaustive"):
                 t0 = time.time()

@@ -97,12 +97,19 @@ def seek_gte_postings(spark, index, keys: list[tuple[int, str, int]]) -> DataFra
     cand = seg.join(F.broadcast(kdf), "term").filter(
         F.col("last_doc") >= F.col("target")
     )
-    w = Window.partitionBy("seek_id").orderBy(F.asc("first_doc"))
-    hit_blocks = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("seek_id", "term", "target", "payload")
-    )
+    if len(keys) == 1:
+        # single seek: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+        # no window exchange (same trick as single-query search)
+        hit_blocks = cand.orderBy(F.asc("first_doc")).limit(1).select(
+            "seek_id", "term", "target", "payload"
+        )
+    else:
+        w = Window.partitionBy("seek_id").orderBy(F.asc("first_doc"))
+        hit_blocks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("seek_id", "term", "target", "payload")
+        )
 
     def decode(batches):
         for pdf in batches:
