@@ -420,6 +420,43 @@ class IndexHandle:
         """(doc_id, dl) membership/norms table."""
         return self._table(spark, "docs")
 
+    # ---- user-facing search API (what a reference user calls after the
+    # switch; thin delegates to query/search.py so the handle is the one
+    # object to hold) ------------------------------------------------------
+
+    def search(self, spark: SparkSession, queries, k: int = 10, mode: str = "wand") -> DataFrame:
+        """Top-k BM25. mode: 'wand' (serving) | 'exhaustive' | 'wand_cursor'."""
+        from grenad_spark.query.search import search_topk
+
+        return search_topk(spark, self, queries, k=k, mode=mode)
+
+    def search_batch(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Decode-once-score-many batch serving (best for query batches)."""
+        from grenad_spark.query.search import search_topk_shared
+
+        return search_topk_shared(spark, self, queries, k=k)
+
+    def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = None) -> DataFrame:
+        from grenad_spark.query.search import search_topk_prefix
+
+        return search_topk_prefix(spark, self, queries, k=k, max_expansions=max_expansions)
+
+    def search_fuzzy(self, spark: SparkSession, queries, k: int = 10, max_edits: int = 1) -> DataFrame:
+        from grenad_spark.query.search import search_topk_fuzzy
+
+        return search_topk_fuzzy(spark, self, queries, k=k, max_edits=max_edits)
+
+    def search_and(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        from grenad_spark.query.search import search_conjunctive
+
+        return search_conjunctive(spark, self, queries, k=k)
+
+    def seek_gte(self, spark: SparkSession, keys) -> DataFrame:
+        """Batched posting-level gte-seeks [(seek_id, term, target_doc)]."""
+        from grenad_spark.operators.seek import seek_gte_postings
+
+        return seek_gte_postings(spark, self, keys)
+
     # serving-path df lookup: a driver-held {term: df} map loaded ONCE per
     # handle kills the per-query term_dict scan+broadcast job (~0.1 s/query).
     # Gated by vocabulary size — beyond IDF_MAP_MAX_TERMS (a 10^9-term web

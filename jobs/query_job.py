@@ -19,7 +19,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "wand_cursor"])
+    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "wand_cursor", "shared"])
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -30,7 +30,11 @@ def main(argv: list[str] | None = None) -> None:
 
     idx = IndexHandle(args.index)
     queries = list(enumerate(args.query, start=1))
-    res = search_topk(spark, idx, queries, k=args.k, mode=args.mode)
+    if args.mode == "shared":
+        # decode-once-score-many: best shape for multi-query batches
+        res = idx.search_batch(spark, queries, k=args.k)
+    else:
+        res = search_topk(spark, idx, queries, k=args.k, mode=args.mode)
     for row in res.collect():
         print(f"q{row['query_id']}\t{row['doc_id']}\t{row['score']:.4f}")
 

@@ -169,3 +169,16 @@ def test_unknown_merge_function_raises(spark):
 
     with _pytest.raises(MergeError):
         merge_sorted_union([kv], "median_of_medians")
+
+
+def test_index_handle_facade(spark, index_small):
+    """The IndexHandle search facade returns the same results as the module
+    functions (one object to hold after switching from the reference)."""
+    from grenad_spark.query.bm25 import REFERENCE_QUERIES
+    from grenad_spark.query.search import search_topk
+
+    a = sorted(map(tuple, index_small.search(spark, REFERENCE_QUERIES[:3], k=5).collect()))
+    b = sorted(map(tuple, search_topk(spark, index_small, REFERENCE_QUERIES[:3], k=5, mode="wand").collect()))
+    assert a == b and len(a) > 0
+    assert index_small.search_batch(spark, REFERENCE_QUERIES[:3], k=5).count() > 0
+    assert index_small.seek_gte(spark, [(0, "spark", 0)]).count() == 1
