@@ -23,6 +23,10 @@ def query_group(draw):
     n_terms = draw(st.integers(1, 4))
     doc_space = draw(st.integers(5, 400))
     avgdl = float(draw(st.integers(5, 80)))
+    # small block sizes force MANY blocks per list: exercises the multi-block
+    # θ seed (rare terms with fewer than k docs per block), range-boundary
+    # pruning, and the dense/sparse extraction branches
+    block_size = draw(st.sampled_from([4, 16, 128]))
     rows = []
     for ti in range(n_terms):
         n_docs = draw(st.integers(1, min(doc_space, 150)))
@@ -33,7 +37,7 @@ def query_group(draw):
         dls = np.array([draw(st.sampled_from([10, 10, 40]))for _ in docs], dtype=np.int64)
         idf = float(draw(st.floats(0.05, 3.0, allow_nan=False)))
         for bid, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
-            encode_posting_blocks(docs, tfs, dls)
+            encode_posting_blocks(docs, tfs, dls, block_size)
         ):
             rows.append(
                 {
@@ -57,7 +61,7 @@ def _norm(df):
 
 
 @given(query_group(), st.integers(1, 15))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=200, deadline=None)
 def test_wand_modes_equal_exhaustive(qg, k):
     pdf, avgdl = qg
     ex = _norm(_make_exhaustive(avgdl, k)(pdf.copy()))
