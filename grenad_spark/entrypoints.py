@@ -569,6 +569,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(load_embeddings(spark, sf_dir), 0.45)
 
 
+from grenad_spark.operators import curation  # noqa: E402
+
+
+@register("curation_pipeline", curation.sql_curate())
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation (lang filter + quality threshold +
+    near-dup removal) as one declarative plan — the end-to-end query a 100 TB
+    pre-training corpus runs, oracle-gated as a whole."""
+    return curation.curate(_docs(spark, sf_dir))
+
+
 @register("dedup_prefix_groups", dedup.sql_prefix_dedup(8))
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_dedup_groups(_docs(spark, sf_dir), 8)
