@@ -527,6 +527,51 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# media_resize: the stub resizer tiles the payload bytes to the target size.
+# The synthetic payload is an ASCII hex string, so tiling bytes == tiling the
+# string: DuckDB reproduces the exact output bytes via repeat()+substr() and
+# the md5 of those bytes gates the operator end to end.
+_RESIZE_W, _RESIZE_H = 24, 16
+_MEDIA_RESIZE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(text) || md5('p2:' || text) || md5('p3:' || text) AS hex
+  FROM documents
+  WHERE doc_id % 3 = 0  -- media_type = 'image'
+)
+SELECT doc_id, {_RESIZE_W}::INT AS width, {_RESIZE_H}::INT AS height,
+       md5(substr(repeat(hex, {(_RESIZE_W * _RESIZE_H) // 96 + 1}), 1, {_RESIZE_W * _RESIZE_H})) AS payload_md5
+FROM h
+"""
+
+
+@register("media_resize", _MEDIA_RESIZE_ORACLE)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    out = multimodal.resize_images(media, _RESIZE_W, _RESIZE_H)
+    return out.select("doc_id", "width", "height", F.md5("payload").alias("payload_md5"))
+
+
+# media_frames: fixed 64-byte frame slicing, every 2nd frame kept; the
+# 96-byte payload yields exactly frame 0 = the first 64 hex chars.
+_MEDIA_FRAMES_ORACLE = """
+SELECT doc_id, 0::INT AS frame_idx,
+       md5(substr(md5(text) || md5('p2:' || text) || md5('p3:' || text), 1, 64)) AS frame_md5
+FROM documents WHERE doc_id % 3 = 2  -- media_type = 'video'
+"""
+
+
+@register("media_frames", _MEDIA_FRAMES_ORACLE)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grenad_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    out = multimodal.sample_frames(media, every_n=2)
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup family
 # ---------------------------------------------------------------------------
