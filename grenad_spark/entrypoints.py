@@ -745,6 +745,36 @@ def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_conjunctive(spark, idx, bm25.AND_QUERIES, k=10)
 
 
+_FRESH_LOGICAL_CORPUS = (
+    "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' zz refresh' "
+    "ELSE text END AS text FROM documents)"
+)
+
+
+@register("bm25_fresh_generations", bm25.bm25_oracle_sql(table=_FRESH_LOGICAL_CORPUS))
+def q_bm25_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-TIME generation merge (grenad MergerIter at read time): a base
+    index plus an unmerged re-crawl delta must answer queries over the
+    LOGICAL corpus (newest generation per doc wins) without compaction. The
+    oracle is plain BM25 over the logical corpus expression."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.query.search import search_topk_fresh
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    fkey = f"fresh{key}"
+    if fkey not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        base = f"/tmp/grenad_fresh{key}_gen0"
+        delta = f"/tmp/grenad_fresh{key}_gen1"
+        build_index(spark, docs.select("doc_id", "text"), base, n_shards=2, overwrite=True)
+        recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat("text", F.lit(" zz refresh")).alias("text")
+        )
+        build_index(spark, recrawl, delta, n_shards=2, overwrite=True)
+        _INDEX_CACHE[fkey] = [base, delta]
+    return search_topk_fresh(spark, _INDEX_CACHE[fkey], bm25.REFERENCE_QUERIES, k=10)
+
+
 @register(
     "term_dict",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

@@ -135,14 +135,20 @@ def sql_queries_values(queries: list[tuple[int, str]] | None = None) -> str:
     return f"(VALUES {rows}) AS q(query_id, query)"
 
 
-def bm25_oracle_sql(queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K) -> str:
-    """DuckDB SQL computing the identical result (same formula, rounding, ties)."""
+def bm25_oracle_sql(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = DEFAULT_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing the identical result (same formula, rounding,
+    ties). `table` may be any table expression with (doc_id, text) — e.g. a
+    logical re-crawled corpus for the fresh-search oracle."""
     return f"""
-WITH tdt AS ({sql_term_doc_tf('documents')}),
+WITH tdt AS ({sql_term_doc_tf(table)}),
 dl AS (
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
-  FROM documents
+  FROM {table}
 ),
 cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
 ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),

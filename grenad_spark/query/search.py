@@ -418,6 +418,95 @@ def _search_from_pairs(
     )
 
 
+def search_topk_fresh(
+    spark: SparkSession,
+    index_paths_or_handles: list,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """QUERY-TIME GENERATION MERGE — grenad's MergerIter at read time.
+
+    Searches the LOGICAL corpus across unmerged generation indexes (a base
+    build plus crawl deltas): the newest generation containing a doc wins,
+    exactly as compaction would decide, but WITHOUT waiting for compaction —
+    the LSM read path that keeps results fresh while the crawler runs.
+
+    Dataflow (pruned to query terms throughout): per-generation pruned block
+    scan → vectorized decode (per-generation codec) → doc-level tombstone
+    filter (doc → newest generation, from the membership tables) → BM25 over
+    the merged postings with LIVE corpus stats (n_docs/avgdl over live docs,
+    df per query term over live postings). At web scale the decode touches
+    only query-term blocks of ≤25 generations; the live map is doc-keyed and
+    co-partitionable (AQE broadcasts it when the delta is small)."""
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.index.compact import _DECODED_SCHEMA, _make_decode_partition
+    from grenad_spark.query.bm25 import score_expr
+
+    handles = [
+        h if isinstance(h, IndexHandle) else IndexHandle(h)
+        for h in index_paths_or_handles
+    ]
+    pairs = _tokenize_queries(queries)
+    terms = sorted({t for _, t in pairs})
+    codecs = [h.payload_codec for h in handles]
+
+    seg_union = None
+    docs_union = None
+    for i, h in enumerate(handles):
+        s = (
+            h.segments(spark)
+            .filter(F.col("term").isin(terms))
+            .select("term", "shard", "block_id", "n", "payload")
+            .withColumn("gen", F.lit(i))
+        )
+        d = h.docs(spark).withColumn("gen", F.lit(i))
+        seg_union = s if seg_union is None else seg_union.unionByName(s)
+        docs_union = d if docs_union is None else docs_union.unionByName(d)
+
+    live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
+    live_docs = (
+        docs_union.join(live, "doc_id")
+        .filter(F.col("gen") == F.col("live_gen"))
+        .select("doc_id", "dl")
+    )
+    st = live_docs.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
+    ).first()
+    n_docs, avgdl = float(st["n"]), float(st["a"])
+
+    decoded = seg_union.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
+    tdt = (
+        decoded.join(live, "doc_id")
+        .filter(F.col("gen") == F.col("live_gen"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    # df per query term over the LIVE corpus — BM25 only ever needs df for
+    # the query terms, so the stats job is pruned-scan sized
+    ts = tdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qt = spark.createDataFrame(pairs, "query_id int, term string")
+    per_term = (
+        tdt.join(F.broadcast(qt), "term")
+        .join(F.broadcast(ts), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            score_expr(
+                F.col("tf").cast("double"), F.col("df"),
+                F.col("dl").cast("double"), n_docs, avgdl,
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def search_topk_shared(
     spark: SparkSession,
     index: IndexHandle,

@@ -153,3 +153,21 @@ def test_streaming_incremental_build(spark, docs_small, tmp_path):
     t_c = sorted(map(tuple, compacted.term_dict(spark).select("term", "df", "cf").collect()))
     t_m = sorted(map(tuple, mono.term_dict(spark).select("term", "df", "cf").collect()))
     assert t_c == t_m
+
+
+def test_fresh_search_equals_compacted_search(spark, docs_small, tmp_path):
+    """LSM read-path invariant: query-time generation merge (search_topk_fresh
+    over base + unmerged re-crawl delta) must return exactly what a
+    compact-then-search returns — freshness without waiting for compaction."""
+    from grenad_spark.query.search import search_topk_fresh
+
+    base, delta = str(tmp_path / "g0"), str(tmp_path / "g1")
+    build_index(spark, docs_small.select("doc_id", "text"), base, n_shards=2)
+    recrawl = docs_small.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat("text", F.lit(" zz refresh")).alias("text")
+    )
+    build_index(spark, recrawl, delta, n_shards=2)
+    fresh = _norm(search_topk_fresh(spark, [base, delta], REFERENCE_QUERIES, k=10))
+    compacted = compact_indexes(spark, [base, delta], str(tmp_path / "cmerged"))
+    merged = _norm(search_topk(spark, compacted, REFERENCE_QUERIES, k=10, mode="wand"))
+    assert fresh == merged and len(fresh) > 0
