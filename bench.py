@@ -245,7 +245,7 @@ def main() -> None:
             queries[f"{mode}_q{qid}"] = round(dt, 3)
     p50w = statistics.median(lat["wand"].values())
     p50e = statistics.median(lat["exhaustive"].values())
-    log(f"query p50 (min-of-3, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
+    log(f"query p50 (min-of-5, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
 
     # batched serving shape: all reference queries in ONE Spark job — the
     # per-query Spark overhead amortizes (this is how a cluster serves)
@@ -279,7 +279,10 @@ def main() -> None:
     # the block-index levels), batched as one job per iteration
     from grenad_spark.operators.seek import seek_gte_postings
 
-    terms = sorted(idx.df_map(spark) or {})
+    dfm = idx.df_map(spark)
+    terms = sorted(dfm) if dfm else [
+        r["term"] for r in idx.term_dict(spark).select("term").orderBy("term").collect()
+    ]
     doc_space = idx.manifest["max_doc"] + 1
     seek_keys = [
         (i, terms[i % len(terms)], (i * 9973) % doc_space) for i in range(N_SEEKS)

@@ -816,7 +816,11 @@ def q_seek_gte_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenad_spark.operators.seek import seek_gte_postings
 
     idx = build_or_get_index(spark, sf_dir)
-    terms = sorted(idx.df_map(spark))
+    dfm = idx.df_map(spark)
+    if dfm:  # vocabulary-gated driver map; fall back to a distributed pull
+        terms = sorted(dfm)
+    else:  # pragma: no cover - >2M-term vocab
+        terms = [r["term"] for r in idx.term_dict(spark).select("term").orderBy("term").collect()]
     doc_space = idx.manifest["max_doc"] + 1
     keys = [
         (i, terms[i % len(terms)], (i * 9973) % doc_space)

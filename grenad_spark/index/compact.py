@@ -208,8 +208,16 @@ def compact_indexes(
     dirty = marked.filter(~F.coalesce(copy_cond, F.lit(False))).select(
         "term", "gen", "shard", "block_id", "n", "payload"
     )
-    copied_blocks = copied.count()
-    dirty_blocks = dirty.count()
+    # ONE accounting job (payload pruned out of the aggregate scan) instead
+    # of two separate counts re-running the ownership join
+    counts = {
+        bool(r["c"]): r["count"]
+        for r in marked.groupBy(
+            F.coalesce(copy_cond, F.lit(False)).alias("c")
+        ).count().collect()
+    }
+    copied_blocks = counts.get(True, 0)
+    dirty_blocks = counts.get(False, 0)
 
     # ---- dirty path: decode (per-gen codec) → tombstone filter → re-encode --
     decoded = dirty.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)

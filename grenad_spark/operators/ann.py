@@ -175,18 +175,24 @@ def sql_band_union(planes: list[list[int]], bands: int, src: str, id_as: str) ->
     )
 
 
+def infer_dim(emb: DataFrame) -> int:
+    """Embedding dimensionality from the data (zip_with would silently
+    null-pad a plane/vector length mismatch into all-zero signatures)."""
+    return len(emb.select("embedding").first()[0])
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = DEFAULT_K,
     n_queries: int = N_QUERIES,
     n_planes: int = LSH_PLANES,
     bands: int = LSH_BANDS,
-    dim: int = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded integer-hyperplane LSH: candidates share ≥1 band of plane signs
     with the query; exact cosine rerank on candidates only. At web scale the
     bucket join touches only colliding vectors — never all pairs."""
-    planes = int_planes(dim, n_planes)
+    planes = int_planes(dim if dim is not None else infer_dim(emb), n_planes)
     vb = band_rows(emb, "vec_id", planes, bands, keep=[])
     qb = band_rows(
         emb.filter(F.col("vec_id") < n_queries), "vec_id", planes, bands, keep=[]
@@ -338,7 +344,7 @@ def ivf_kmeans_topk(
     n_cells: int = 8,
     nprobe: int = 3,
     iters: int = 2,
-    dim: int = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF with a REAL (Lloyd) quantizer instead of raw seed vectors:
     iters k-means rounds in integer-quantized space (deterministic and
@@ -351,7 +357,10 @@ def ivf_kmeans_topk(
         F.transform("embedding", lambda x: F.round(x.cast("double") * QUANT, 0)).alias("qv"),
         F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
     )
-    cents = kmeans_centroids(base.select("vec_id", "qv"), n_cells, iters, dim)
+    cents = kmeans_centroids(
+        base.select("vec_id", "qv"), n_cells, iters,
+        dim if dim is not None else infer_dim(emb),
+    )
     assigned = _assign_cells(base.select("vec_id", "qv", "dv"), cents).select(
         "vec_id", "dv", "cell_id"
     )

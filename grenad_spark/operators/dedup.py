@@ -373,6 +373,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = EMB_DEDUP_PLANES,
     bands: int = EMB_DEDUP_BANDS,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine ≥ threshold — LSH-BUCKETED:
     candidate pairs come from integer-hyperplane band-bucket collisions
@@ -381,9 +382,9 @@ def embedding_dup_pairs(
     bucket self-join touches only colliding pairs. The brute-force all-pairs
     variant survives as the TEST oracle (embedding_dup_pairs_bruteforce;
     equality asserted in tests/test_dedup_ann.py)."""
-    from grenad_spark.operators.ann import EMB_DIM, band_rows, int_planes
+    from grenad_spark.operators.ann import band_rows, infer_dim, int_planes
 
-    planes = int_planes(EMB_DIM, n_planes)
+    planes = int_planes(dim if dim is not None else infer_dim(emb), n_planes)
     b = band_rows(emb, "vec_id", planes, bands, keep=[])
     cand = (
         b.alias("a")

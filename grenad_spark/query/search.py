@@ -42,6 +42,20 @@ from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
 PRUNE_EPS = 10.0 ** -SCORE_DECIMALS  # rounded-tie slack for WAND prune gates
 
 
+def _driver_idf(n_docs: float, df: float) -> float:
+    """BM25 idf computed driver-side — must stay formula-identical to the
+    Spark/SQL expressions (the oracle equivalence tests pin all three)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _qshard_params(spark: SparkSession, index: IndexHandle) -> tuple[int, int]:
+    """(g, n_qshards): how many consecutive doc-disjoint build shards merge
+    into one scoring group, sized to the session's core count."""
+    par = max(1, spark.sparkContext.defaultParallelism)
+    g = max(1, -(-max(1, index.n_shards) // par))
+    return g, -(-max(1, index.n_shards) // g)
+
+
 def _tfpart(tf, dl, avgdl):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
@@ -103,20 +117,30 @@ def expand_prefix_queries(
             cond = c if cond is None else (cond | c)
         matched_df = index.term_dict(spark).filter(cond).select("term", "df")
         if max_expansions is not None:
-            # per-prefix top-df cap: rank expansions inside each prefix range
-            # (deterministic tie-break on term)
-            from pyspark.sql.window import Window
-
-            whens = None
-            for _, p in sorted(set(prefixes)):
-                c = F.when(F.col("term").startswith(p), F.lit(p))
-                whens = c if whens is None else whens.when(F.col("term").startswith(p), F.lit(p))
+            # per-prefix top-df cap. A term joins EVERY prefix it matches
+            # (overlapping prefixes like `s*` and `sp*` each rank their own
+            # full candidate range — a CASE-style single label would starve
+            # one of them); rank within each prefix by (df desc, term asc)
+            pdf = spark.createDataFrame(
+                sorted({p for _, p in prefixes}), "string"
+            ).withColumnRenamed("value", "prefix")
             w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
-            matched_df = (
-                matched_df.withColumn("prefix", whens)
+            kept_rows = (
+                matched_df.join(
+                    F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+                )
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= max_expansions)
+                .select("prefix", "term")
+                .collect()
             )
+            kept: dict[str, set[str]] = {}
+            for r in kept_rows:
+                kept.setdefault(r["prefix"], set()).add(r["term"])
+            for qid, p in prefixes:
+                for t in kept.get(p, ()):
+                    pairs.add((qid, t))
+            return sorted(pairs)
         matched = [r["term"] for r in matched_df.select("term").collect()]
         for qid, p in prefixes:
             for t in matched:
@@ -153,8 +177,12 @@ def expand_fuzzy_queries(
     (where one edit can destroy every bigram) fall back to a length-banded
     vocabulary scan — a bounded slice, and rare in real query logs."""
     qt = _tokenize_queries(queries)
-    long_terms = sorted({(q, t) for q, t in qt if len(t) >= 4})
-    short_terms = sorted({(q, t) for q, t in qt if len(t) < 4})
+    # the >=1-shared-bigram pigeonhole only holds for ONE edit (an edit kills
+    # at most 2 adjacent bigrams); with max_edits >= 2 every term takes the
+    # banded-scan path rather than silently dropping valid matches
+    gram_ok = max_edits == 1
+    long_terms = sorted({(q, t) for q, t in qt if gram_ok and len(t) >= 4})
+    short_terms = sorted({(q, t) for q, t in qt if not (gram_ok and len(t) >= 4)})
     vocab = index.term_dict(spark).select("term")
     pairs: set[tuple[int, str]] = set()
     band = (F.abs(F.length("term") - F.length("qterm")) <= max_edits) & (
@@ -316,7 +344,7 @@ def _query_blocks_from_pairs(
     dfm = index.df_map(spark)
     if dfm is not None:
         rows = [
-            (q, t, math.log(1.0 + (n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+            (q, t, _driver_idf(n_docs, dfm[t]))
             for q, t in qt
             if t in dfm
         ]
@@ -382,15 +410,15 @@ def _search_from_pairs(
     # merging g of them per scoring group preserves exactness (the group is
     # still one valid posting-list slice), widens WAND's pruning scope, and
     # cuts per-group Python overhead by g×.
-    par = max(1, spark.sparkContext.defaultParallelism)
-    g = max(1, -(-max(1, index.n_shards) // par))
-    n_qshards = -(-max(1, index.n_shards) // g)
+    g, n_qshards = _qshard_params(spark, index)
     # Explicit right-sized shuffle INTO the scoring groups: the serving job's
     # data is query-terms-only block rows (KBs-MBs), so the default
     # shuffle.partitions-wide exchange is pure task-scheduling overhead.
     # HashPartitioning(query_id, qshard) satisfies applyInPandas's clustering
     # requirement, so Catalyst inserts NO second exchange.
-    n_groups = max(1, min(par, n_queries * n_qshards))
+    n_groups = max(1, min(
+        max(1, spark.sparkContext.defaultParallelism), n_queries * n_qshards
+    ))
     per_shard = blocks.select(
         "query_id",
         (F.col("shard") / g).cast("int").alias("qshard"),
@@ -537,7 +565,7 @@ def search_topk_shared(
     # (query_id, term, idf) resolved driver-side; terms absent from the
     # vocabulary score nothing and drop here
     qinfo = [
-        (q, t, math.log(1.0 + (n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+        (q, t, _driver_idf(n_docs, dfm[t]))
         for q, t in pairs
         if t in dfm
     ]
@@ -545,9 +573,7 @@ def search_topk_shared(
     if not terms:
         return spark.createDataFrame([], _OUT_SCHEMA)
 
-    par = max(1, spark.sparkContext.defaultParallelism)
-    g = max(1, -(-max(1, index.n_shards) // par))
-    n_qshards = -(-max(1, index.n_shards) // g)
+    g, n_qshards = _qshard_params(spark, index)
 
     seg = index.segments(spark).filter(F.col("term").isin(terms))
     blocks = seg.select(
