@@ -182,3 +182,24 @@ def test_index_handle_facade(spark, index_small):
     assert a == b and len(a) > 0
     assert index_small.search_batch(spark, REFERENCE_QUERIES[:3], k=5).count() > 0
     assert index_small.seek_gte(spark, [(0, "spark", 0)]).count() == 1
+
+
+def test_out_of_vocabulary_edges(spark, index_small):
+    """OOV and empty-expansion inputs return empty/partial results, never
+    errors, across every search path; AND with an OOV term matches nothing
+    (no doc can contain every term)."""
+    from grenad_spark.query.search import (
+        search_conjunctive,
+        search_topk,
+        search_topk_fuzzy,
+        search_topk_prefix,
+        search_topk_shared,
+    )
+
+    assert search_topk(spark, index_small, [(1, "zzzzunknownterm")], k=5, mode="wand").count() == 0
+    assert search_topk_shared(spark, index_small, [(1, "zzzzunknownterm")], k=5).count() == 0
+    assert search_topk_fuzzy(spark, index_small, [(1, "qqqqqqqqq")], k=5).count() == 0
+    assert search_topk_prefix(spark, index_small, [(1, "zzz*")], k=5).count() == 0
+    assert search_conjunctive(spark, index_small, [(1, "spark zzzzunknown")], k=5).count() == 0
+    # mixed known+OOV still ranks on the known term
+    assert search_topk(spark, index_small, [(1, "spark zzzzunknown")], k=5, mode="exhaustive").count() == 5
