@@ -2,11 +2,18 @@
 
 Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
 1. index-build throughput (docs/sec) on a deterministic ×REPL replicated
-   corpus, at local[N] and local[4N] (default 4 and 16; see LOW_CPUS note) →
-   scaling efficiency throughput(4N) / (4 × throughput(N)) — the sandbox
-   stand-in for the north_rule's N vs 4N executor scaling (≥0.8).
-2. BM25 top-k p50 latency over the reference query set, WAND and exhaustive,
-   on the high-parallelism index.
+   corpus, at local[N] and local[4N] (default 4 and 16; see LOW_CPUS note),
+   at TWO problem sizes (repl and repl/4) → raw scaling efficiencies
+   throughput(4N) / (4 × throughput(N)) plus the measured host
+   memory-bandwidth ceiling and the derived (unclamped) normalized figure —
+   the sandbox evidence for the north_rule's N vs 4N executor scaling.
+2. BM25 top-k p50 latency (min-of-5, interleaved) over the reference query
+   set, WAND and exhaustive, on the high-parallelism index; batched serving
+   per-query (one job) and decode-once-score-many shared-batch shapes.
+3. Seek throughput: 639 batched posting-level gte-seeks per iteration
+   (the benches/index-levels.rs workload shape) + single-seek latency.
+4. WAND pruning showcase on a zipfian-vocabulary variant (the base corpus
+   is uniform by construction, so pruning cannot fire there).
 
 Prints ONE JSON line: {"metric", "value" (total suite sec), "unit": "sec",
 "queries": {...per-phase/per-query sec...}, "sf", plus scaling fields}.
