@@ -362,6 +362,47 @@ def main() -> None:
         f"{zt['exhaustive'] / zshared:.2f}x)"
     )
 
+    # COMPUTE-ONLY pruning measurement: wall-clock batches are dominated by
+    # the (mode-identical) scan+shuffle, so time the scoring UDFs directly on
+    # one real (query, qshard) group — this is the per-group work a 1000-
+    # executor cluster multiplies, and where block-max pruning actually pays
+    from grenad_spark.query.search import (
+        _make_exhaustive,
+        _make_wand_batched,
+        _query_blocks_from_pairs,
+        _qshard_params,
+        _tokenize_queries,
+    )
+
+    zpairs = _tokenize_queries(zqueries[:1])
+    zblocks, _ = _query_blocks_from_pairs(spark, zidx, zpairs)
+    zg, _nq = _qshard_params(spark, zidx)
+    grp = (
+        zblocks.select(
+            "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "payload",
+        )
+        .filter(F.col("shard") < zg)
+        .toPandas()
+    )
+    fn_ex = _make_exhaustive(zidx.avgdl, 10, zidx.payload_codec)
+    fn_wa = _make_wand_batched(zidx.avgdl, 10, zidx.payload_codec)
+    udf_ms = {}
+    for mname, fn in (("exhaustive", fn_ex), ("wand", fn_wa)):
+        fn(grp)  # warm
+        t0 = time.time()
+        for _ in range(20):
+            fn(grp)
+        udf_ms[mname] = (time.time() - t0) / 20 * 1000
+    queries["zipf_udf_ms_wand"] = round(udf_ms["wand"], 2)
+    queries["zipf_udf_ms_exhaustive"] = round(udf_ms["exhaustive"], 2)
+    log(
+        f"zipf compute-only (one scoring group, {len(grp)} block rows): "
+        f"wand={udf_ms['wand']:.2f}ms exhaustive={udf_ms['exhaustive']:.2f}ms "
+        f"({udf_ms['exhaustive'] / udf_ms['wand']:.1f}x — block-max pruning "
+        f"on the zipfian mix)"
+    )
+
     total = time.time() - t_suite
     result = {
         "metric": "index_build_plus_bm25_suite_seconds",
@@ -386,6 +427,7 @@ def main() -> None:
         "seek_single_sec": round(seek_single, 4),
         "zipf_wand_speedup": round(zt["exhaustive"] / zt["wand"], 2),
         "zipf_shared_speedup": round(zt["exhaustive"] / zshared, 2),
+        "zipf_udf_speedup_computeonly": round(udf_ms["exhaustive"] / udf_ms["wand"], 2),
     }
     print(json.dumps(result), flush=True)
 

@@ -745,17 +745,24 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
             s = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             return d, s
 
-        # --- phase 1: θ₀ from the best blocks of the highest-impact term.
-        # Take blocks in descending-UB order until the seed holds ≥ k docs:
-        # one block of a RARE term (the highest-impact term on zipfian
-        # corpora) can hold < k postings, which would leave θ = -1 and
-        # disable pruning exactly where it matters most.
-        best_t = max(terms, key=lambda t: float(t["ub"].max()))
-        ub_order = np.argsort(-best_t["ub"], kind="stable")
-        acc_docs = np.cumsum(best_t["ns"][ub_order])
-        n_seed_blocks = int(np.searchsorted(acc_docs, k)) + 1
-        seed_bi = np.sort(ub_order[:n_seed_blocks])
-        seed_docs, _ = decode_term_blocks(best_t, seed_bi)
+        # --- phase 1: θ₀ from the best blocks of the highest-impact terms.
+        # Take blocks in descending-UB order until the seed holds ≥ k DISTINCT
+        # docs, CONTINUING into the next-best term when one term's postings
+        # run out: a rare term (the highest-impact one on zipfian corpora)
+        # often has fewer than k docs in a group, which would otherwise leave
+        # θ = -1 and disable pruning exactly where it matters most.
+        seed_parts = []
+        n_seed = 0
+        for t in sorted(terms, key=lambda t: -float(t["ub"].max())):
+            ub_order = np.argsort(-t["ub"], kind="stable")
+            acc_docs = np.cumsum(t["ns"][ub_order])
+            nb = int(np.searchsorted(acc_docs, max(1, k - n_seed))) + 1
+            d, _ = decode_term_blocks(t, np.sort(ub_order[:nb]))
+            seed_parts.append(d)
+            n_seed = np.unique(np.concatenate(seed_parts)).size
+            if n_seed >= k:
+                break
+        seed_docs = np.unique(np.concatenate(seed_parts))
         seed_scores = np.zeros(seed_docs.size)
         for t in terms:
             # blocks of t containing any seed doc
