@@ -712,24 +712,38 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return _empty_out()
         qid = int(pdf["query_id"].iloc[0])
+        # ONE sort + numpy boundary slicing instead of pandas groupby +
+        # per-group sort_values: per-group metadata prep was the dominant
+        # cost for small groups (measured ~3 ms of a ~5 ms group)
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+        t_np = pdf["term"].to_numpy()
+        idf_np = pdf["idf"].to_numpy().astype(np.float64)
+        first_np = pdf["first_doc"].to_numpy()
+        last_np = pdf["last_doc"].to_numpy()
+        ns_np = pdf["n"].to_numpy()
+        pay_np = pdf["payload"].to_numpy()
+        ub_all = idf_np * _tfpart(
+            pdf["max_tf"].to_numpy().astype(np.float64),
+            pdf["min_dl"].to_numpy().astype(np.float64),
+            avgdl,
+        )
+        starts = np.concatenate(
+            ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
+        )
         terms = []
-        for (_, idf), g in pdf.groupby(["term", "idf"], sort=False):
-            g = g.sort_values("first_doc", kind="stable")
-            idf = float(idf)
-            ub = idf * _tfpart(
-                g["max_tf"].to_numpy().astype(np.float64),
-                g["min_dl"].to_numpy().astype(np.float64),
-                avgdl,
-            )
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
             terms.append(
                 {
-                    "idf": idf,
-                    "first": g["first_doc"].to_numpy(),
-                    "last": g["last_doc"].to_numpy(),
-                    "ns": g["n"].to_numpy(),
-                    "payloads": list(g["payload"]),
-                    "ub": ub,
+                    "idf": float(idf_np[s]),
+                    "first": first_np[s:e],
+                    "last": last_np[s:e],
+                    "ns": ns_np[s:e],
+                    "payloads": pay_np[s:e],
+                    "ub": ub_all[s:e],
                 }
             )
         if not terms:
