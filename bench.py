@@ -235,12 +235,12 @@ def main() -> None:
     for mode in ("wand", "exhaustive"):
         for qid, q in REFERENCE_QUERIES[:6]:
             search_topk(spark, idx, [(qid, q)], k=10, mode=mode).collect()
-    # INTERLEAVED min-of-5 per query: de-noises one-sided scheduling jitter
+    # INTERLEAVED min-of-7 per query: de-noises one-sided scheduling jitter
     # and removes mode-order bias (the real per-group UDF gap — wand is
     # 3-7 ms/group cheaper via dense-scatter + θ-filter — is smaller than
     # single-shot host noise, so minima need several samples)
     lat: dict[str, dict[int, float]] = {"wand": {}, "exhaustive": {}}
-    for _rep in range(5):
+    for _rep in range(7):
         for qid, q in REFERENCE_QUERIES:
             for mode in ("wand", "exhaustive"):
                 t0 = time.time()
@@ -252,7 +252,7 @@ def main() -> None:
             queries[f"{mode}_q{qid}"] = round(dt, 3)
     p50w = statistics.median(lat["wand"].values())
     p50e = statistics.median(lat["exhaustive"].values())
-    log(f"query p50 (min-of-5, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
+    log(f"query p50 (min-of-7, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
 
     # batched serving shape: all reference queries in ONE Spark job — the
     # per-query Spark overhead amortizes (this is how a cluster serves)
