@@ -7,7 +7,7 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
    throughput(4N) / (4 × throughput(N)) plus the measured host
    memory-bandwidth ceiling and the derived (unclamped) normalized figure —
    the sandbox evidence for the north_rule's N vs 4N executor scaling.
-2. BM25 top-k p50 latency (min-of-5, interleaved) over the reference query
+2. BM25 top-k p50 latency (min-of-7, interleaved) over the reference query
    set, WAND and exhaustive, on the high-parallelism index; batched serving
    per-query (one job) and decode-once-score-many shared-batch shapes.
 3. Seek throughput: 639 batched posting-level gte-seeks per iteration
