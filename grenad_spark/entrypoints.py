@@ -641,14 +641,30 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(load_embeddings(spark, sf_dir))
 
 
+def _emb_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with a dim guard: the registered SQL oracles embed
+    EMB_DIM-dim hyperplane/centroid literals at import time, so a table with
+    a different dim would silently hash-mismatch (or worse, zip_with would
+    null-pad). Fail loudly instead."""
+    from grenad_spark.corpus import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    d = ann.infer_dim(emb)
+    if d != ann.EMB_DIM:
+        raise ValueError(
+            f"embeddings table at {sf_dir} has dim {d}, but the registered "
+            f"SQL oracles were built for dim {ann.EMB_DIM} — re-register with "
+            f"ann.sql_*(dim={d})"
+        )
+    return emb
+
+
 @register("ann_lsh_topk", ann.sql_lsh_topk())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully oracle-gated: md5-derived INTEGER hyperplanes + quantized
     vectors make every LSH sign bit exact cross-engine (see operators/ann.py);
     recall vs brute force additionally asserted in tests/test_dedup_ann.py."""
-    from grenad_spark.corpus import load_embeddings
-
-    return ann.lsh_topk(load_embeddings(spark, sf_dir))
+    return ann.lsh_topk(_emb_checked(spark, sf_dir))
 
 
 @register("ann_ivf_topk", ann.sql_ivf_topk())
@@ -664,9 +680,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL Lloyd quantizer — k-means in integer-quantized space
     (element sums are exact in any order, so centroids are bit-identical
     across engines), fully oracle-gated including both Lloyd iterations."""
-    from grenad_spark.corpus import load_embeddings
-
-    return ann.ivf_kmeans_topk(load_embeddings(spark, sf_dir))
+    return ann.ivf_kmeans_topk(_emb_checked(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +737,11 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenad_spark.query.search import search_topk_prefix
 
     idx = build_or_get_index(spark, sf_dir)
-    return search_topk_prefix(spark, idx, bm25.PREFIX_QUERIES, k=10, mode="wand")
+    # max_expansions=None: the oracle expands exhaustively; serving defaults
+    # to a finite per-prefix cap (query/search.py DEFAULT_MAX_EXPANSIONS)
+    return search_topk_prefix(
+        spark, idx, bm25.PREFIX_QUERIES, k=10, mode="wand", max_expansions=None
+    )
 
 
 @register("bm25_topk_fuzzy", bm25.bm25_fuzzy_oracle_sql())

@@ -168,6 +168,23 @@ def _arrow_codec_available(codec: str) -> bool:
         return False
 
 
+def _reject_codec(codec: str) -> None:
+    """Distinguish the two failure modes (a valid index built elsewhere must
+    not read as 'corrupt' just because this pyarrow build lacks its codec):
+    unknown codec → InvalidCompressionType (grenad Error::InvalidCompressionType,
+    src/error.rs:6-15); known-but-unavailable → RuntimeError naming the
+    missing runtime dependency."""
+    if codec in PAYLOAD_CODECS:
+        raise RuntimeError(
+            f"payload codec {codec!r} is valid but not available in this "
+            f"pyarrow build — install a pyarrow with {codec} support to read "
+            f"this index"
+        )
+    from grenad_spark.errors import InvalidCompressionType
+
+    raise InvalidCompressionType(f"unknown payload codec {codec!r}")
+
+
 def compress_payload(payload: bytes, codec: str) -> bytes:
     if codec == "none":
         return payload
@@ -180,9 +197,7 @@ def compress_payload(payload: bytes, codec: str) -> bytes:
 
         body = pa.compress(payload, codec=codec, asbytes=True)
         return len(payload).to_bytes(4, "little") + body
-    from grenad_spark.errors import InvalidCompressionType
-
-    raise InvalidCompressionType(f"unknown or unavailable payload codec {codec!r}")
+    _reject_codec(codec)
 
 
 def decompress_payload(payload: bytes, codec: str) -> bytes:
@@ -197,9 +212,7 @@ def decompress_payload(payload: bytes, codec: str) -> bytes:
 
         raw_len = int.from_bytes(payload[:4], "little")
         return pa.decompress(payload[4:], decompressed_size=raw_len, codec=codec, asbytes=True)
-    from grenad_spark.errors import InvalidCompressionType
-
-    raise InvalidCompressionType(f"unknown or unavailable payload codec {codec!r}")
+    _reject_codec(codec)
 
 
 def decompress_payloads(payloads: list[bytes], codec: str) -> list[bytes]:

@@ -338,6 +338,10 @@ def _build_index_inner(
             max(1, partitions // 8), "term"
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(dict_path)
         stage_secs["term_dict"] = time.time() - ts
+    # vocabulary size for the manifest: parquet row-count from file footers
+    # (metadata-only job) — lets df_map() gate on the manifest with no count
+    # job per handle
+    n_terms = spark.read.parquet(dict_path).count()
 
     # stage 4: manifest — per-file lineage + metrics (north_rule); the
     # grenad metadata footer (src/metadata.rs:105-115) of this index.
@@ -353,6 +357,7 @@ def _build_index_inner(
             "n_docs": int(n_docs),
             "avgdl": float(avgdl),
             "max_doc": int(max_doc),
+            "n_terms": int(n_terms),
             "n_shards": int(n_shards),
             "docs_per_shard": docs_per_shard,
             "payload_codec": payload_codec,
@@ -436,7 +441,9 @@ class IndexHandle:
 
         return search_topk_shared(spark, self, queries, k=k)
 
-    def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = None) -> DataFrame:
+    def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = 128) -> DataFrame:
+        """Prefix search; max_expansions caps each prefix to its top-df
+        expansions (Meilisearch-style serving default; None = exhaustive)."""
         from grenad_spark.query.search import search_topk_prefix
 
         return search_topk_prefix(spark, self, queries, k=k, max_expansions=max_expansions)

@@ -243,6 +243,7 @@ def compact_indexes(
     term_dict_from_segments(segments).write.mode("overwrite").parquet(
         os.path.join(out_dir, "term_dict")
     )
+    n_terms = spark.read.parquet(os.path.join(out_dir, "term_dict")).count()
     live_docs.repartition(max(1, partitions // 8)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "docs")
     )
@@ -255,6 +256,7 @@ def compact_indexes(
         "n_docs": int(st["n_docs"]),
         "avgdl": float(st["avgdl"]),
         "max_doc": int(doc_space - 1),
+        "n_terms": int(n_terms),
         "n_shards": int(n_shards),
         "docs_per_shard": handles[-1].manifest.get("docs_per_shard"),
         "payload_codec": out_codec,

@@ -374,6 +374,7 @@ def embedding_dup_pairs(
     n_planes: int = EMB_DEDUP_PLANES,
     bands: int = EMB_DEDUP_BANDS,
     dim: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine ≥ threshold — LSH-BUCKETED:
     candidate pairs come from integer-hyperplane band-bucket collisions
@@ -381,7 +382,17 @@ def embedding_dup_pairs(
     only. NO all-pairs join anywhere in the plan: at 10^9 vectors the
     bucket self-join touches only colliding pairs. The brute-force all-pairs
     variant survives as the TEST oracle (embedding_dup_pairs_bruteforce;
-    equality asserted in tests/test_dedup_ann.py)."""
+    equality asserted in tests/test_dedup_ann.py).
+
+    RECALL BOUND (probabilistic — retune band params per threshold): a pair
+    at cosine c collides in one r-plane band w.p. p^r where p = 1 - acos(c)/π,
+    and misses EVERY band w.p. (1 - p^r)^bands. With the defaults (32 planes,
+    16 bands, r=2): miss ≈ 1.6e-4 at c=0.45 but the bound is per-threshold —
+    deduping at c ≥ 0.95 (p ≈ 0.90) should run LONGER bands (r=8+) for
+    selectivity, and fewer of them still keeps miss < 1e-4. Pass exact=True
+    (all-pairs; O(n²), small inputs only) when recall must be 1.0."""
+    if exact:
+        return embedding_dup_pairs_bruteforce(emb, threshold)
     from grenad_spark.operators.ann import band_rows, infer_dim, int_planes
 
     planes = int_planes(dim if dim is not None else infer_dim(emb), n_planes)

@@ -305,15 +305,22 @@ def _make_exhaustive_with_termcount(avgdl: float, codec: str = "none"):
     return fn
 
 
+DEFAULT_MAX_EXPANSIONS = 128  # Meilisearch-style serving cap: a 1-char
+# prefix against a web vocabulary expands to millions of terms — serving
+# defaults to the top-df 128 per prefix; pass None for exhaustive expansion
+
+
 def search_topk_prefix(
     spark: SparkSession,
     index: IndexHandle,
     queries: list[tuple[int, str]],
     k: int = 10,
     mode: str = "wand",
-    max_expansions: int | None = None,
+    max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
 ) -> DataFrame:
-    """Top-k BM25 where query terms may end in `*` (prefix expansion)."""
+    """Top-k BM25 where query terms may end in `*` (prefix expansion).
+    max_expansions caps each prefix to its highest-df expansions (None =
+    uncapped, exact — what the contract query runs on the small vocab)."""
     pairs = expand_prefix_queries(spark, index, queries, max_expansions)
     return _search_from_pairs(spark, index, pairs, k, mode)
 
@@ -500,6 +507,10 @@ def search_topk_fresh(
     st = live_docs.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
     ).first()
+    # all generations empty / every doc tombstoned: avg(dl) is NULL — return
+    # empty like the other search paths (test_out_of_vocabulary_edges contract)
+    if not st["n"] or st["a"] is None:
+        return spark.createDataFrame([], _OUT_SCHEMA)
     n_docs, avgdl = float(st["n"]), float(st["a"])
 
     decoded = seg_union.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)

@@ -31,9 +31,12 @@ DOCS_SCHEMA = "doc_id long, text string"
 
 
 def generation_paths(index_root: str) -> list[str]:
+    # (epoch, name) key: a compacted run `gen={e}_c` must sort AFTER the raw
+    # `gen={e}` it subsumes (newest-wins doc resolution), and the tie-break
+    # must not depend on os.listdir order
     gens = sorted(
         (d for d in os.listdir(index_root) if d.startswith("gen=")),
-        key=lambda d: int(d.split("=")[1].split("_")[0]),
+        key=lambda d: (int(d.split("=")[1].split("_")[0]), d),
     ) if os.path.isdir(index_root) else []
     return [os.path.join(index_root, d) for d in gens]
 
@@ -62,12 +65,18 @@ def incremental_index_stream(
         if len(gens) >= max_generations:
             compacted_tmp = os.path.join(index_root, "_compacting")
             compact_indexes(batch_df.sparkSession, gens, compacted_tmp)
-            # atomic-ish swap: compacted run replaces all generations as gen=0
+            # CRASH-SAFE swap order: rename the compacted run INTO place
+            # FIRST (readers see either the old generations, or old + the
+            # compacted run that supersedes them — newest-wins makes both
+            # servable and equivalent), THEN delete the old generations. The
+            # previous delete-then-rename order could crash in between and
+            # leave only `_compacting`, which generation_paths() won't list —
+            # the index would read as empty even though the data exists.
             import shutil
 
+            os.rename(compacted_tmp, os.path.join(index_root, f"gen={epoch_id}_c"))
             for g in gens:
                 shutil.rmtree(g)
-            os.rename(compacted_tmp, os.path.join(index_root, f"gen={epoch_id}_c"))
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

@@ -171,3 +171,51 @@ def test_fresh_search_equals_compacted_search(spark, docs_small, tmp_path):
     compacted = compact_indexes(spark, [base, delta], str(tmp_path / "cmerged"))
     merged = _norm(search_topk(spark, compacted, REFERENCE_QUERIES, k=10, mode="wand"))
     assert fresh == merged and len(fresh) > 0
+
+
+def test_compaction_swap_is_crash_safe(spark, tmp_path):
+    """The auto-compaction swap must leave a SERVABLE generation set at every
+    intermediate crash point (rename-in first, delete second): a crash may
+    leave old gens only, old gens + the compacted run, or the compacted run
+    only — never an index that reads as empty."""
+    import shutil
+
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.query.search import search_topk_fresh
+    from grenad_spark.streaming.incremental import generation_paths
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    g0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    g1 = spark.createDataFrame([(1, "delta delta")], "doc_id long, text string")
+    build_index(spark, g0, os.path.join(root, "gen=0"), n_shards=1)
+    build_index(spark, g1, os.path.join(root, "gen=1"), n_shards=1)
+    queries = [(0, "alpha delta")]
+
+    def served():
+        gens = generation_paths(root)
+        assert gens, "index root reads as empty — not servable"
+        return _norm(search_topk_fresh(spark, gens, queries, k=10))
+
+    expected = served()  # crash point 0: before compaction starts
+
+    # the swap, step by step, checking servability between every step
+    gens = generation_paths(root)
+    tmp = os.path.join(root, "_compacting")
+    compact_indexes(spark, gens, tmp)
+    assert served() == expected  # crash point 1: compacted but not renamed
+
+    os.rename(tmp, os.path.join(root, "gen=1_c"))
+    # crash point 2: compacted run IN PLACE alongside the old generations —
+    # newest-wins doc resolution makes the union equivalent to compacted-only
+    paths = generation_paths(root)
+    assert paths[-1].endswith("gen=1_c"), paths  # _c sorts newest at its epoch
+    assert served() == expected
+
+    shutil.rmtree(os.path.join(root, "gen=0"))
+    assert served() == expected  # crash point 3: partial delete
+
+    shutil.rmtree(os.path.join(root, "gen=1"))
+    assert served() == expected  # final state: compacted run only

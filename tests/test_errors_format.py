@@ -38,6 +38,19 @@ def test_unknown_codec_raises_invalid_compression_type():
         decompress_payload(b"x", "rot13")
 
 
+def test_known_but_unavailable_codec_raises_runtime_error(monkeypatch):
+    """A KNOWN codec this pyarrow build lacks is a missing runtime dependency,
+    not a corrupt index — the error must say so (not InvalidCompressionType,
+    which conflates the two)."""
+    from grenad_spark.functions import varbyte
+
+    monkeypatch.setattr(varbyte, "_arrow_codec_available", lambda c: False)
+    with pytest.raises(RuntimeError, match="not available"):
+        compress_payload(b"x", "zstd")
+    with pytest.raises(RuntimeError, match="not available"):
+        decompress_payload(b"x", "zstd")
+
+
 def test_key_order_violation_raises():
     """Writer::insert key-order contract (src/block_writer.rs:109)."""
     with pytest.raises(InvalidKeyOrder):
