@@ -251,6 +251,65 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
+def _cents_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as a LITERAL array<struct<cell_id,cv>> column. Centroid sets
+    are driver-small by construction (n_cells entries), so baking them into
+    the plan makes nearest-cell assignment a row-local expression — ZERO
+    exchange, where a crossJoin + row_number window would shuffle
+    n_cells × N rows just to take an argmax (the r2 VERDICT scale item)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def _cell_rank_structs(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<negcos,cell_id>> — ascending struct order == (rounded
+    cosine DESC, cell_id ASC), the exact ordering the SQL oracles' windows
+    use, so array_sort(...)[0] is the same argmax the crossJoin+window
+    computed (the lang_id argmax idiom, functions/textstats.py)."""
+    carr = _cents_literal(cents)
+    return F.transform(
+        carr,
+        lambda c: F.struct(
+            (-F.round(_cos(F.col(vec_col), c["cv"]), 6)).alias("negcos"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+
+
+def assign_cells(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """+cell_id = nearest centroid by rounded cosine (cell_id tie-break),
+    computed row-local inside codegen — no shuffle, no window."""
+    return df.withColumn(
+        "cell_id", F.array_sort(_cell_rank_structs(vec_col, cents))[0]["cell_id"]
+    )
+
+
+def probe_cells(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str, nprobe: int
+) -> DataFrame:
+    """One row per (input row × nprobe nearest cells) — the query-side probe
+    fan-out, also row-local (sort the literal centroid array, slice, explode)."""
+    ranked = F.slice(F.array_sort(_cell_rank_structs(vec_col, cents)), 1, nprobe)
+    return (
+        df.withColumn("pc", F.explode(ranked))
+        .withColumn("cell_id", F.col("pc.cell_id"))
+        .drop("pc")
+    )
+
+
+def _rows_to_cents(rows) -> list[tuple[int, list[float]]]:
+    return [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = DEFAULT_K,
@@ -261,33 +320,21 @@ def ivf_topk(
     """IVF: centroids = the n_cells vectors with the smallest md5(vec_id)
     rank — deterministic, spatially unbiased, engine-portable (a production
     build would k-means these; the cell/probe dataflow is identical). Assign
-    each vector to its nearest centroid; probe the nprobe nearest cells per
+    each vector to its nearest centroid ROW-LOCALLY (centroids ride in as
+    plan literals — no n_cells×N shuffle); probe the nprobe nearest cells per
     query; exact rerank inside probed cells."""
     v = _as_double(emb).select("vec_id", "v")
-    cents = (
+    cents = _rows_to_cents(
         v.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+        .collect()
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(_cos(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell_id")
-    )
+    assigned = assign_cells(v, cents, "v")
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("qcos", F.round(_cos(F.col("qv"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell_id")
-    )
+    probes = probe_cells(q, cents, "qv", nprobe).select("query_id", "qv", "cell_id")
     cand = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -300,40 +347,38 @@ def ivf_topk(
     )
 
 
-def _assign_cells(v: DataFrame, cents: DataFrame, vec_col: str = "qv") -> DataFrame:
-    """Nearest-centroid assignment by rounded cosine, cell_id tie-break."""
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    return (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(_cos(F.col(vec_col), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("ccos", "rn", "cv", "cell_rank")
-    )
-
-
 def kmeans_centroids(
     v: DataFrame, n_cells: int, iters: int, dim: int = EMB_DIM
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd k-means over INTEGER-QUANTIZED vectors.
 
     Init: md5-rank-selected seeds. Update: element-wise mean — sums of
     integer-valued doubles are exact in ANY accumulation order (< 2^53), so
     the centroids are bit-identical across engines and run-to-run, unlike a
-    float k-means whose partial-sum order varies. v needs (vec_id, qv)."""
-    cents = (
+    float k-means whose partial-sum order varies. v needs (vec_id, qv).
+
+    Each Lloyd round is one row-local assignment (literal centroids — no
+    assignment shuffle) + one n_cells-group aggregate; the n_cells centroid
+    rows come back to the driver, where s_i/nn is the same IEEE double
+    division every engine performs. Returns driver-held (cell_id, cv) pairs —
+    centroids are driver state here exactly as in Spark MLlib's k-means."""
+    cents = _rows_to_cents(
         v.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"))
+        .collect()
     )
     for _ in range(iters):
-        a = _assign_cells(v.select("vec_id", "qv"), cents)
+        a = assign_cells(v.select("vec_id", "qv"), cents, "qv")
         aggs = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
-        g = a.groupBy("cell_id").agg(*aggs, F.count("*").alias("nn"))
-        cents = g.select(
-            "cell_id",
-            F.array(*[F.col(f"s{i}") / F.col("nn") for i in range(dim)]).alias("cv"),
-        )
+        g = a.groupBy("cell_id").agg(*aggs, F.count("*").alias("nn")).collect()
+        cents = [
+            (
+                int(r["cell_id"]),
+                [float(r[f"s{i}"]) / float(r["nn"]) for i in range(dim)],
+            )
+            for r in sorted(g, key=lambda r: r["cell_id"])
+        ]
     return cents
 
 
@@ -349,9 +394,10 @@ def ivf_kmeans_topk(
     """IVF with a REAL (Lloyd) quantizer instead of raw seed vectors:
     iters k-means rounds in integer-quantized space (deterministic and
     engine-exact), then the standard assign/probe/rerank dataflow. At scale
-    the Lloyd rounds are iters broadcast-join + groupBy passes — the same
-    shape Spark MLlib uses, kept here as plain DataFrame ops so the whole
-    operator stays oracle-checkable."""
+    each Lloyd round is one shuffle-free assignment pass + one tiny
+    aggregate — the Spark MLlib shape — and the final assignment is again
+    row-local, so the only exchanges left are the candidate join and the
+    per-query top-k."""
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: F.round(x.cast("double") * QUANT, 0)).alias("qv"),
@@ -361,20 +407,13 @@ def ivf_kmeans_topk(
         base.select("vec_id", "qv"), n_cells, iters,
         dim if dim is not None else infer_dim(emb),
     )
-    assigned = _assign_cells(base.select("vec_id", "qv", "dv"), cents).select(
+    assigned = assign_cells(base.select("vec_id", "qv", "dv"), cents, "qv").select(
         "vec_id", "dv", "cell_id"
     )
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"), F.col("dv").alias("qdv")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("qcos", F.round(_cos(F.col("qqv"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qdv", "cell_id")
-    )
+    probes = probe_cells(q, cents, "qqv", nprobe).select("query_id", "qdv", "cell_id")
     cand = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )

@@ -151,3 +151,25 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, emb):
     approx = _topk_sets(ann.ivf_kmeans_topk(emb, k=10, n_cells=8, nprobe=4))
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
     assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_ivf_assignment_is_shuffle_free(spark, emb):
+    """Scale gate (r2 VERDICT item): nearest-centroid assignment must be a
+    row-local expression over literal centroids — NO Exchange, no window, no
+    crossJoin in the assignment subplan (a crossJoin+row_number argmax would
+    shuffle n_cells×N rows at 10^9 vectors)."""
+    from pyspark.sql import functions as F
+
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = ann._rows_to_cents(
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(4)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+        .collect()
+    )
+    assigned = ann.assign_cells(v, cents, "v")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Window", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} in assignment plan:\n{plan}"
