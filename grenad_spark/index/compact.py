@@ -244,6 +244,12 @@ def compact_indexes(
         os.path.join(out_dir, "term_dict")
     )
     n_terms = spark.read.parquet(os.path.join(out_dir, "term_dict")).count()
+    from grenad_spark.index.build import write_term_bigrams
+
+    write_term_bigrams(
+        spark, os.path.join(out_dir, "term_dict"),
+        os.path.join(out_dir, "term_bigrams"), max(1, partitions // 8),
+    )
     live_docs.repartition(max(1, partitions // 8)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "docs")
     )

@@ -149,14 +149,6 @@ def expand_prefix_queries(
     return sorted(pairs)
 
 
-def _char_bigrams(col):
-    """Array of character bigrams of a string column, JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - 1, F.lit(1))),
-        lambda i: col.substr(i, F.lit(2)),
-    )
-
-
 def expand_fuzzy_queries(
     spark: SparkSession,
     index: IndexHandle,
@@ -170,12 +162,16 @@ def expand_fuzzy_queries(
     N-GRAM PREFILTER (the 10^9-vocabulary path): a term within 1 edit of a
     query term of length ≥ 4 must share ≥ len(q)-3 ≥ 1 of its character
     bigrams (one edit destroys at most 2 adjacent bigrams), so candidates
-    come from an equi-join on exploded bigrams — levenshtein runs only on
-    gram-sharing candidates, never on the whole dictionary. On a real
-    deployment the vocab-bigram table is persisted once per index build; here
-    it is a derived plan over term_dict. Query terms shorter than 4 chars
-    (where one edit can destroy every bigram) fall back to a length-banded
-    vocabulary scan — a bounded slice, and rare in real query logs."""
+    come from the PERSISTED (gram, term) typo index written at build time
+    (index.term_bigrams — Meilisearch persists its typo databases the same
+    way): the query grams are driver-known, so the scan is gram-IN-pruned
+    (parquet min/max on the gram-range-partitioned table) and levenshtein
+    runs only on gram-sharing candidates, never on the whole dictionary.
+    Query terms shorter than 4 chars (where one edit can destroy every
+    bigram) fall back to a length-banded vocabulary scan — a bounded slice,
+    and rare in real query logs."""
+    from grenad_spark.functions.tokenize import char_bigrams
+
     qt = _tokenize_queries(queries)
     # the >=1-shared-bigram pigeonhole only holds for ONE edit (an edit kills
     # at most 2 adjacent bigrams); with max_edits >= 2 every term takes the
@@ -191,11 +187,17 @@ def expand_fuzzy_queries(
     if long_terms:
         qdf = spark.createDataFrame(long_terms, "query_id int, qterm string")
         qgrams = qdf.select(
-            "query_id", "qterm", F.explode(_char_bigrams(F.col("qterm"))).alias("gram")
+            "query_id", "qterm", F.explode(char_bigrams(F.col("qterm"))).alias("gram")
         ).distinct()
-        vgrams = vocab.select("term", F.explode(_char_bigrams(F.col("term"))).alias("gram"))
+        # driver-side gram list (bounded by Σ len(qterm)) — pushed into the
+        # bigram-table scan as In(gram, …) so only matching files/row-groups
+        # are read; MUST be a superset of qgrams' engine-side values (same
+        # substr definition, ASCII-only terms)
+        gram_list = sorted({t[i : i + 2] for _, t in long_terms for i in range(len(t) - 1)})
         matched = (
-            vgrams.join(F.broadcast(qgrams), "gram")
+            index.term_bigrams(spark)
+            .filter(F.col("gram").isin(gram_list))
+            .join(F.broadcast(qgrams), "gram")
             .select("query_id", "qterm", "term")
             .distinct()
             .filter(band)

@@ -203,3 +203,39 @@ def test_out_of_vocabulary_edges(spark, index_small):
     assert search_conjunctive(spark, index_small, [(1, "spark zzzzunknown")], k=5).count() == 0
     # mixed known+OOV still ranks on the known term
     assert search_topk(spark, index_small, [(1, "spark zzzzunknown")], k=5, mode="exhaustive").count() == 5
+
+
+def test_fuzzy_expansion_uses_persisted_bigram_table(spark, index_small):
+    """The typo index is PERSISTED at build (Meilisearch-style): fuzzy
+    expansion must scan the (gram, term) table with the query grams pushed
+    into the scan — no per-batch explode of the whole term dictionary — and
+    the fallback derive (pre-bigram-table indexes) must expand identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import _done
+    from grenad_spark.query.search import expand_fuzzy_queries
+
+    assert _done(os.path.join(index_small.path, "term_bigrams"))
+    bg = index_small.term_bigrams(spark).filter(F.col("gram").isin(["sp", "pa"]))
+    plan = bg._jdf.queryExecution().executedPlan().toString()
+    assert "term_bigrams" in plan  # file scan of the persisted table
+    assert "Generate" not in plan  # no explode anywhere in the serving scan
+    assert "PushedFilters: [In(gram" in plan, plan  # gram pruning reaches parquet
+
+    queries = [(0, "sparky"), (1, "lineitme shipmode")]
+    persisted = expand_fuzzy_queries(spark, index_small, queries)
+    # simulate a pre-bigram-table index: force the fallback derive path
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        legacy = os.path.join(td, "legacy")
+        shutil.copytree(index_small.path, legacy)
+        shutil.rmtree(os.path.join(legacy, "term_bigrams"))
+        from grenad_spark.index.build import IndexHandle
+
+        h = IndexHandle(legacy)
+        fallback = expand_fuzzy_queries(spark, h, queries)
+    assert persisted == fallback and len(persisted) > 0
