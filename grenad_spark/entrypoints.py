@@ -781,6 +781,8 @@ def q_bm25_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir.rstrip("/").replace("/", "_")
     fkey = f"fresh{key}"
     if fkey not in _INDEX_CACHE:
+        from grenad_spark.index.live import write_live_map
+
         docs = _docs(spark, sf_dir)
         base = f"/tmp/grenad_fresh{key}_gen0"
         delta = f"/tmp/grenad_fresh{key}_gen1"
@@ -789,8 +791,16 @@ def q_bm25_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.concat("text", F.lit(" zz refresh")).alias("text")
         )
         build_index(spark, recrawl, delta, n_shards=2, overwrite=True)
-        _INDEX_CACHE[fkey] = [base, delta]
-    return search_topk_fresh(spark, _INDEX_CACHE[fkey], bm25.REFERENCE_QUERIES, k=10)
+        # live map persisted at DELTA-BUILD time (index/live.py): the
+        # per-query plan below joins a ready doc→newest-gen table instead of
+        # re-aggregating every generation's membership per batch
+        live_dir = f"/tmp/grenad_fresh{key}_live"
+        write_live_map(spark, [base, delta], live_dir)
+        _INDEX_CACHE[fkey] = ([base, delta], live_dir)
+    gens, live_dir = _INDEX_CACHE[fkey]
+    return search_topk_fresh(
+        spark, gens, bm25.REFERENCE_QUERIES, k=10, live_dir=live_dir
+    )
 
 
 @register(

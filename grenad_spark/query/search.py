@@ -460,6 +460,7 @@ def search_topk_fresh(
     index_paths_or_handles: list,
     queries: list[tuple[int, str]],
     k: int = 10,
+    live_dir: str | None = None,
 ) -> DataFrame:
     """QUERY-TIME GENERATION MERGE — grenad's MergerIter at read time.
 
@@ -470,11 +471,17 @@ def search_topk_fresh(
 
     Dataflow (pruned to query terms throughout): per-generation pruned block
     scan → vectorized decode (per-generation codec) → doc-level tombstone
-    filter (doc → newest generation, from the membership tables) → BM25 over
-    the merged postings with LIVE corpus stats (n_docs/avgdl over live docs,
-    df per query term over live postings). At web scale the decode touches
-    only query-term blocks of ≤25 generations; the live map is doc-keyed and
-    co-partitionable (AQE broadcasts it when the delta is small)."""
+    filter (doc → newest generation) → BM25 over the merged postings with
+    LIVE corpus stats (n_docs/avgdl over live docs, df per query term over
+    live postings). At web scale the decode touches only query-term blocks
+    of ≤25 generations; the live map is doc-keyed and co-partitionable (AQE
+    broadcasts it when the delta is small).
+
+    live_dir — the PERSISTED live map written at delta-build time
+    (index/live.py). With it, the serving plan never touches the membership
+    tables: no corpus-sized groupBy and no stats action per query batch.
+    Without it (None), both are derived inline — correct, but a
+    corpus-membership-sized aggregate per call."""
     from grenad_spark.index.build import IndexHandle
     from grenad_spark.index.compact import _DECODED_SCHEMA, _make_decode_partition
     from grenad_spark.query.bm25 import score_expr
@@ -483,12 +490,15 @@ def search_topk_fresh(
         h if isinstance(h, IndexHandle) else IndexHandle(h)
         for h in index_paths_or_handles
     ]
+    paths = [
+        h if not isinstance(h, IndexHandle) else h.path
+        for h in index_paths_or_handles
+    ]
     pairs = _tokenize_queries(queries)
     terms = sorted({t for _, t in pairs})
     codecs = [h.payload_codec for h in handles]
 
     seg_union = None
-    docs_union = None
     for i, h in enumerate(handles):
         s = (
             h.segments(spark)
@@ -496,24 +506,34 @@ def search_topk_fresh(
             .select("term", "shard", "block_id", "n", "payload")
             .withColumn("gen", F.lit(i))
         )
-        d = h.docs(spark).withColumn("gen", F.lit(i))
         seg_union = s if seg_union is None else seg_union.unionByName(s)
-        docs_union = d if docs_union is None else docs_union.unionByName(d)
 
-    live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
-    live_docs = (
-        docs_union.join(live, "doc_id")
-        .filter(F.col("gen") == F.col("live_gen"))
-        .select("doc_id", "dl")
-    )
-    st = live_docs.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
-    ).first()
-    # all generations empty / every doc tombstoned: avg(dl) is NULL — return
-    # empty like the other search paths (test_out_of_vocabulary_edges contract)
-    if not st["n"] or st["a"] is None:
-        return spark.createDataFrame([], _OUT_SCHEMA)
-    n_docs, avgdl = float(st["n"]), float(st["a"])
+    if live_dir is not None:
+        from grenad_spark.index.live import read_live_map
+
+        live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
+        if n_docs == 0:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+    else:
+        docs_union = None
+        for i, h in enumerate(handles):
+            d = h.docs(spark).withColumn("gen", F.lit(i))
+            docs_union = d if docs_union is None else docs_union.unionByName(d)
+        live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
+        live_docs = (
+            docs_union.join(live, "doc_id")
+            .filter(F.col("gen") == F.col("live_gen"))
+            .select("doc_id", "dl")
+        )
+        st = live_docs.agg(
+            F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
+        ).first()
+        # all generations empty / every doc tombstoned: avg(dl) is NULL —
+        # return empty like the other search paths
+        # (test_out_of_vocabulary_edges contract)
+        if not st["n"] or st["a"] is None:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        n_docs, avgdl = float(st["n"]), float(st["a"])
 
     decoded = seg_union.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
     tdt = (

@@ -54,6 +54,35 @@ def incremental_index_stream(
     StreamingQuery (caller awaits termination)."""
     os.makedirs(index_root, exist_ok=True)
 
+    live_dir = os.path.join(index_root, "_live")
+
+    def _refresh_live(spark_, new_gen: str | None) -> None:
+        """Maintain the persisted live map (index/live.py) at delta-build
+        time. Adding one generation folds it in incrementally (work ∝ delta
+        + map); any other shape (first batch, post-compaction) recomputes
+        from the current generation set. Swap is rename-based; a crash
+        window without a map is benign — search_topk_fresh falls back to the
+        inline derivation when live_dir is absent."""
+        from grenad_spark.index.live import update_live_map, write_live_map
+
+        import shutil
+
+        tmp = live_dir + "_next"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if new_gen is not None and os.path.isdir(live_dir):
+            update_live_map(spark_, live_dir, new_gen, tmp)
+        else:
+            write_live_map(spark_, generation_paths(index_root), tmp)
+        old = live_dir + "_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, old)
+        os.rename(tmp, live_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -61,6 +90,7 @@ def incremental_index_stream(
         build_index(
             batch_df.sparkSession, batch_df, out, n_shards=n_shards, overwrite=True
         )
+        _refresh_live(batch_df.sparkSession, out)
         gens = generation_paths(index_root)
         if len(gens) >= max_generations:
             compacted_tmp = os.path.join(index_root, "_compacting")
@@ -77,6 +107,7 @@ def incremental_index_stream(
             os.rename(compacted_tmp, os.path.join(index_root, f"gen={epoch_id}_c"))
             for g in gens:
                 shutil.rmtree(g)
+            _refresh_live(batch_df.sparkSession, None)  # new generation set
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

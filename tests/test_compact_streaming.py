@@ -148,6 +148,16 @@ def test_streaming_incremental_build(spark, docs_small, tmp_path):
     q.awaitTermination(120)
     gens = generation_paths(index_root)
     assert len(gens) == 3, gens
+    # the stream maintains the persisted live map batch-by-batch; it must
+    # serve fresh search identically to the inline derivation
+    from grenad_spark.query.search import search_topk_fresh
+
+    live_dir = os.path.join(index_root, "_live")
+    assert os.path.isdir(live_dir)
+    lm = _norm(
+        search_topk_fresh(spark, gens, REFERENCE_QUERIES, k=10, live_dir=live_dir)
+    )
+    assert lm == _norm(search_topk_fresh(spark, gens, REFERENCE_QUERIES, k=10))
     compacted = compact_indexes(spark, gens, str(tmp_path / "c"), docs=docs_small)
     mono = build_index(spark, docs_small, str(tmp_path / "mono2"), n_shards=2)
     t_c = sorted(map(tuple, compacted.term_dict(spark).select("term", "df", "cf").collect()))
@@ -219,3 +229,50 @@ def test_compaction_swap_is_crash_safe(spark, tmp_path):
 
     shutil.rmtree(os.path.join(root, "gen=1"))
     assert served() == expected  # final state: compacted run only
+
+
+def test_fresh_search_with_persisted_live_map(spark, docs_small, tmp_path):
+    """The live map persisted at delta-build time must make fresh search
+    (a) identical in results, (b) free of the per-query corpus-membership
+    aggregate, and (c) refuse a stale map; the incremental update must equal
+    the from-scratch computation."""
+    import pytest
+
+    from grenad_spark.index.live import update_live_map, write_live_map
+    from grenad_spark.query.search import search_topk_fresh
+
+    base, delta = str(tmp_path / "g0"), str(tmp_path / "g1")
+    build_index(spark, docs_small.select("doc_id", "text"), base, n_shards=2)
+    recrawl = docs_small.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat("text", F.lit(" zz refresh")).alias("text")
+    )
+    build_index(spark, recrawl, delta, n_shards=2)
+
+    live_dir = str(tmp_path / "live")
+    write_live_map(spark, [base, delta], live_dir)
+    without = _norm(search_topk_fresh(spark, [base, delta], REFERENCE_QUERIES, k=10))
+    with_map_df = search_topk_fresh(
+        spark, [base, delta], REFERENCE_QUERIES, k=10, live_dir=live_dir
+    )
+    assert _norm(with_map_df) == without and len(without) > 0
+
+    # (b) per-query plan: joins the READY table — no membership max(gen)
+    # aggregate, and the generations' docs tables are never scanned
+    plan = with_map_df._jdf.queryExecution().executedPlan().toString()
+    # the live-map scan is identifiable by its gen_name column (plan strings
+    # truncate file paths); the membership aggregate would show as max(gen…
+    assert "gen_name:string" in plan, plan
+    assert "max(gen" not in plan, plan
+
+    # incremental fold-in == from-scratch map
+    live_b, live_i = str(tmp_path / "lb"), str(tmp_path / "li")
+    write_live_map(spark, [base], live_b)
+    update_live_map(spark, live_b, delta, live_i)
+    inc = _norm(
+        search_topk_fresh(spark, [base, delta], REFERENCE_QUERIES, k=10, live_dir=live_i)
+    )
+    assert inc == without
+
+    # (c) stale map (generation set mismatch) must refuse, not mis-serve
+    with pytest.raises(ValueError, match="rebuild"):
+        search_topk_fresh(spark, [base], REFERENCE_QUERIES, k=10, live_dir=live_dir)
