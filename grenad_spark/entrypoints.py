@@ -211,12 +211,19 @@ _INDEX_CACHE: dict[str, object] = {}
 
 
 def build_or_get_index(spark: SparkSession, sf_dir: str):
-    from grenad_spark.index.build import build_index
+    from grenad_spark.index.build import CURRENT_FORMAT_VERSION, build_index
 
     key = sf_dir.rstrip("/").replace("/", "_")
     if key not in _INDEX_CACHE:
+        # format version in the path: a /tmp index left by an OLDER engine
+        # would otherwise resume (checkpoint _SUCCESS markers) with the old
+        # segment schema and silently disable newer serving paths
         _INDEX_CACHE[key] = build_index(
-            spark, _docs(spark, sf_dir), f"/tmp/grenad_index{key}", n_shards=4, overwrite=True
+            spark,
+            _docs(spark, sf_dir),
+            f"/tmp/grenad_index_v{CURRENT_FORMAT_VERSION}{key}",
+            n_shards=4,
+            overwrite=True,
         )
     return _INDEX_CACHE[key]
 
@@ -235,6 +242,18 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_or_get_index(spark, sf_dir)
     return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand")
+
+
+@register("bm25_topk_wand_pruned", bm25.bm25_oracle_sql())
+def q_bm25_topk_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PASS metadata-pruned serving (query/search.py _search_pruned):
+    pass 1 ships block metadata only and computes a θ lower bound + surviving
+    block set; pass 2 shuffles ONLY surviving payloads into the scoring UDF.
+    Gated by the same BM25 oracle — pruning must be invisible in the values."""
+    from grenad_spark.query.search import search_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk(spark, idx, bm25.REFERENCE_QUERIES, k=10, mode="wand_pruned")
 
 
 @register("bm25_topk_shared", bm25.bm25_oracle_sql())

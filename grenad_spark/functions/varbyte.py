@@ -97,14 +97,19 @@ def _interleave(doc_ids: np.ndarray, cols: list[np.ndarray], block_size: int = B
 
 def encode_posting_blocks(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
-) -> list[tuple[int, int, int, int, int, int, bytes]]:
+) -> list[tuple[int, int, int, int, int, int, int, int, bytes]]:
     """Encode one term's postings as independent per-block payloads.
 
-    Returns [(n, first_doc, last_doc, max_tf, min_dl, sum_tf, payload), ...] in doc
-    order. max_tf + min_dl give the block-max WAND upper bound: the BM25
-    tf-part is increasing in tf and decreasing in dl, so
-    score_ub(block) = idf * tfpart(max_tf, min_dl) dominates every doc in the
-    block (grenad block footer metadata analog, src/block_writer.rs:126-134).
+    Returns [(n, first_doc, last_doc, max_tf, min_dl, min_tf, max_dl, sum_tf,
+    payload), ...] in doc order. max_tf + min_dl give the block-max WAND
+    UPPER bound: the BM25 tf-part is increasing in tf and decreasing in dl,
+    so score_ub(block) = idf * tfpart(max_tf, min_dl) dominates every doc in
+    the block (grenad block footer metadata analog,
+    src/block_writer.rs:126-134). min_tf + max_dl give the dual LOWER bound
+    — score_lb(block) = idf * tfpart(min_tf, max_dl) is GUARANTEED by every
+    doc in the block, which is what lets the serving plan compute a valid
+    top-k threshold θ from metadata alone and prune blocks BEFORE their
+    payloads cross the shuffle (query/search.py metadata prune pass).
     doc_ids must be strictly increasing (Writer::insert key-order assertion,
     src/block_writer.rs:109 — violated input is a build bug, so we assert).
     """
@@ -128,6 +133,8 @@ def encode_posting_blocks(
     bend = np.append(bstart[1:], byte_cum[-1])
     max_tf = np.maximum.reduceat(tfs, starts)
     min_dl = np.minimum.reduceat(dls, starts)
+    min_tf = np.minimum.reduceat(tfs, starts)
+    max_dl = np.maximum.reduceat(dls, starts)
     sum_tf = np.add.reduceat(tfs, starts)
     return [
         (
@@ -136,6 +143,8 @@ def encode_posting_blocks(
             int(doc_ids[ends[i] - 1]),
             int(max_tf[i]),
             int(min_dl[i]),
+            int(min_tf[i]),
+            int(max_dl[i]),
             int(sum_tf[i]),
             payload[int(bstart[i]) : int(bend[i])],
         )
@@ -268,7 +277,7 @@ def decode_block_list(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray, np
     )
 
 
-def merge_posting_blocks(payload_lists: list[list[bytes]]) -> list[tuple[int, int, int, int, int, int, bytes]]:
+def merge_posting_blocks(payload_lists: list[list[bytes]]) -> list[tuple[int, int, int, int, int, int, int, int, bytes]]:
     """MergeFunction for postings across segment generations (MergerIter's
     one-merge-call-per-key, src/merger.rs:173-186): decode every generation,
     merge by doc_id — LAST generation wins on doc collision (a re-crawled

@@ -49,7 +49,7 @@ from grenad_spark.functions.varbyte import encode_posting_blocks
 
 SEGMENT_SCHEMA = (
     "term string, shard int, block_id int, n int, first_doc long, last_doc long, "
-    "max_tf int, min_dl int, sum_tf long, payload binary"
+    "max_tf int, min_dl int, min_tf int, max_dl int, sum_tf long, payload binary"
 )
 
 # grenad dump_threshold analog: bounds postings per applyInPandas group
@@ -110,7 +110,9 @@ def _encode_partition_stream(batches, payload_codec: str = "none", block_size: i
             tf = counts
         else:
             tf = np.add.reduceat(tf_col[s:e], first_idx)
-        for block_id, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
+        for block_id, (
+            n, first, last, max_tf, min_dl, min_tf, max_dl, sum_tf, payload
+        ) in enumerate(
             encode_posting_blocks(
                 uniq_docs, tf, dl[s:e][first_idx],
                 *( [block_size] if block_size else [] ),
@@ -123,14 +125,14 @@ def _encode_partition_stream(batches, payload_codec: str = "none", block_size: i
             rows.append(
                 (
                     terms[s], int(shards[s]), block_id, n, first, last,
-                    max_tf, min_dl, sum_tf, payload,
+                    max_tf, min_dl, min_tf, max_dl, sum_tf, payload,
                 )
             )
     yield pd.DataFrame(
         rows,
         columns=[
             "term", "shard", "block_id", "n", "first_doc", "last_doc",
-            "max_tf", "min_dl", "sum_tf", "payload",
+            "max_tf", "min_dl", "min_tf", "max_dl", "sum_tf", "payload",
         ],
     )
 
@@ -406,9 +408,12 @@ def write_term_bigrams(
 # Manifest format versions this engine can open (the src/metadata.rs:39-91
 # version-dispatch analog; grenad 0.5 reads 0.4 files, src/writer.rs:373-413):
 #   0 — pre-codec manifests: no payload_codec key (implied "none")
-#   1 — current: payload_codec recorded explicitly
-SUPPORTED_FORMAT_VERSIONS = (0, 1)
-CURRENT_FORMAT_VERSION = 1
+#   1 — payload_codec recorded explicitly
+#   2 — current: segment blocks carry min_tf/max_dl lower-bound metadata
+#       (pre-shuffle pruning); v0/v1 indexes open fine, serving just skips
+#       the metadata prune pass for them
+SUPPORTED_FORMAT_VERSIONS = (0, 1, 2)
+CURRENT_FORMAT_VERSION = 2
 
 
 class IndexHandle:
@@ -477,7 +482,9 @@ class IndexHandle:
     # object to hold) ------------------------------------------------------
 
     def search(self, spark: SparkSession, queries, k: int = 10, mode: str = "wand") -> DataFrame:
-        """Top-k BM25. mode: 'wand' (serving) | 'exhaustive' | 'wand_cursor'."""
+        """Top-k BM25. mode: 'wand' (single-pass serving) | 'wand_pruned'
+        (two-pass metadata prune — shuffle ∝ surviving blocks; best when
+        pruning bites, e.g. zipfian corpora) | 'exhaustive' | 'wand_cursor'."""
         from grenad_spark.query.search import search_topk
 
         return search_topk(spark, self, queries, k=k, mode=mode)

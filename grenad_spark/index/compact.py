@@ -68,7 +68,7 @@ _DECODED_SCHEMA = "term string, doc_id long, tf int, dl int, gen int"
 
 _SEGMENT_COLS = [
     "term", "shard", "block_id", "n", "first_doc", "last_doc",
-    "max_tf", "min_dl", "sum_tf", "payload",
+    "max_tf", "min_dl", "min_tf", "max_dl", "sum_tf", "payload",
 ]
 
 
@@ -181,6 +181,9 @@ def compact_indexes(
         if h.n_shards == n_shards
         and h.manifest["max_doc"] + 1 == doc_space
         and codecs[i] == out_codec
+        # pre-v2 segments lack the min_tf/max_dl lower-bound columns — they
+        # must take the decode path so the compacted output is uniformly v2
+        and h.format_version >= 2
     ]
     # shard ownership over ALL generations' membership tables: an output
     # shard is exclusive iff exactly one generation has docs in it

@@ -339,16 +339,23 @@ def _query_blocks(
 
 
 def _query_blocks_from_pairs(
-    spark: SparkSession, index: IndexHandle, qt: list[tuple[int, str]]
+    spark: SparkSession,
+    index: IndexHandle,
+    qt: list[tuple[int, str]],
+    columns: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pruned (query_id × matching block rows) with idf attached.
 
     Fast path: the handle's driver-held df map (vocabulary-gated) computes
     idf locally and ships it INSIDE the qterms broadcast — one Spark job per
     query instead of two (no term_dict scan). Fallback for 10^9-term vocabs:
-    broadcast join against term_dict."""
+    broadcast join against term_dict. columns restricts the segment scan
+    (the metadata prune pass reads everything BUT the payload — parquet
+    column pruning keeps payload bytes on disk)."""
     terms = sorted({t for _, t in qt})
     seg = index.segments(spark).filter(F.col("term").isin(terms))
+    if columns is not None:
+        seg = seg.select(*columns)
     n_docs = float(index.n_docs)
     dfm = index.df_map(spark)
     if dfm is not None:
@@ -391,52 +398,28 @@ def search_topk(
     return _search_from_pairs(spark, index, _tokenize_queries(queries), k, mode)
 
 
-def _search_from_pairs(
-    spark: SparkSession,
-    index: IndexHandle,
-    pairs: list[tuple[int, str]],
-    k: int = 10,
-    mode: str = "exhaustive",
-) -> DataFrame:
-    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
-    avgdl = float(index.avgdl)
-    kk = int(k)
-    codec = index.payload_codec
+def _group_params(spark: SparkSession, index: IndexHandle, n_queries: int) -> tuple[int, int]:
+    """(g, n_groups) for the scoring shuffle.
 
-    if mode == "exhaustive":
-        apply_fn = _make_exhaustive(avgdl, kk, codec)
-    elif mode == "wand":
-        apply_fn = _make_wand_batched(avgdl, kk, codec)
-    elif mode == "wand_cursor":
-        apply_fn = _make_wand(avgdl, kk, codec)
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
-
-    n_queries = len({q for q, _ in pairs})
-    # QUERY-SIDE SHARD COALESCING: build-side shards are sized for skew-bounded
-    # encode groups (docs_per_shard), which can be far more groups than query
-    # cores. Consecutive shards are doc-range DISJOINT and ascending, so
-    # merging g of them per scoring group preserves exactness (the group is
-    # still one valid posting-list slice), widens WAND's pruning scope, and
-    # cuts per-group Python overhead by g×.
+    QUERY-SIDE SHARD COALESCING: build-side shards are sized for skew-bounded
+    encode groups (docs_per_shard), which can be far more groups than query
+    cores. Consecutive shards are doc-range DISJOINT and ascending, so
+    merging g of them per scoring group preserves exactness (the group is
+    still one valid posting-list slice), widens WAND's pruning scope, and
+    cuts per-group Python overhead by g×. n_groups right-sizes the explicit
+    shuffle INTO the groups: the serving job's data is query-terms-only block
+    rows (KBs-MBs), so the default shuffle.partitions-wide exchange is pure
+    task-scheduling overhead. HashPartitioning(query_id, qshard) satisfies
+    applyInPandas's clustering requirement, so Catalyst inserts NO second
+    exchange."""
     g, n_qshards = _qshard_params(spark, index)
-    # Explicit right-sized shuffle INTO the scoring groups: the serving job's
-    # data is query-terms-only block rows (KBs-MBs), so the default
-    # shuffle.partitions-wide exchange is pure task-scheduling overhead.
-    # HashPartitioning(query_id, qshard) satisfies applyInPandas's clustering
-    # requirement, so Catalyst inserts NO second exchange.
     n_groups = max(1, min(
         max(1, spark.sparkContext.defaultParallelism), n_queries * n_qshards
     ))
-    per_shard = blocks.select(
-        "query_id",
-        (F.col("shard") / g).cast("int").alias("qshard"),
-        "term", "idf", "n", "first_doc", "last_doc",
-        "max_tf", "min_dl", "payload",
-    ).repartition(n_groups, "query_id", "qshard").groupBy(
-        "query_id", "qshard"
-    ).applyInPandas(apply_fn, _OUT_SCHEMA)
+    return g, n_groups
 
+
+def _rank_topk(per_shard: DataFrame, n_queries: int, kk: int) -> DataFrame:
     rounded = per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
     if n_queries == 1:
         # single-query serving: ORDER BY + LIMIT compiles to
@@ -453,6 +436,236 @@ def _search_from_pairs(
         .filter(F.col("rn") <= kk)
         .select("query_id", "doc_id", "score")
     )
+
+
+def _search_from_pairs(
+    spark: SparkSession,
+    index: IndexHandle,
+    pairs: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    if mode == "wand_pruned":
+        return _search_pruned(spark, index, pairs, k)
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    avgdl = float(index.avgdl)
+    kk = int(k)
+    codec = index.payload_codec
+
+    if mode == "exhaustive":
+        apply_fn = _make_exhaustive(avgdl, kk, codec)
+    elif mode == "wand":
+        apply_fn = _make_wand_batched(avgdl, kk, codec)
+    elif mode == "wand_cursor":
+        apply_fn = _make_wand(avgdl, kk, codec)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    n_queries = len({q for q, _ in pairs})
+    g, n_groups = _group_params(spark, index, n_queries)
+    per_shard = blocks.select(
+        "query_id",
+        (F.col("shard") / g).cast("int").alias("qshard"),
+        "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).repartition(n_groups, "query_id", "qshard").groupBy(
+        "query_id", "qshard"
+    ).applyInPandas(apply_fn, _OUT_SCHEMA)
+    return _rank_topk(per_shard, n_queries, kk)
+
+
+# metadata prune pass: every block column EXCEPT payload (parquet column
+# pruning keeps the payload bytes on disk for pass 1)
+_META_COLS = [
+    "term", "shard", "block_id", "n", "first_doc", "last_doc",
+    "max_tf", "min_dl", "min_tf", "max_dl",
+]
+_SURVIVOR_SCHEMA = "query_id int, term string, shard int, block_id int"
+
+
+def _search_pruned(
+    spark: SparkSession,
+    index: IndexHandle,
+    pairs: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """TWO-PASS serving: prune blocks from METADATA before any payload
+    crosses the shuffle (the top r2 scale item — BASELINE.md measured that
+    payload shuffle duplication dominates serving at scale).
+
+    Pass 1 ships only block metadata (~30 B/block vs KB payloads) into the
+    per-(query, qshard) groups, computes a metadata-only θ lower bound and
+    the surviving block set (see _make_meta_prune). Pass 2 joins the
+    survivors back against the segment table — AQE broadcasts the survivor
+    list when pruning bites, so ONLY surviving payloads cross the exchange
+    into the scoring UDF (which is the standard batched block-max WAND and
+    re-derives its own tighter decoded θ on the surviving subset). Shuffled
+    payload bytes become ∝ survivors instead of ∝ all query-term blocks —
+    grenad's seek-never-reads-non-matching-blocks contract
+    (src/reader/reader_cursor.rs:184-209) applied to the exchange.
+
+    Exactness: θ_meta ≤ true kth score, so dropped blocks lie only in ranges
+    whose total upper bound is below θ_meta − PRUNE_EPS — their docs can't
+    enter the top-k even on a rounded tie, and a doc partially decoded from
+    a surviving block that straddles a dead range scores ≤ its full score
+    < θ_meta − PRUNE_EPS, so it can't displace anything either (same
+    argument as the in-UDF range mask, asserted in tests/test_wand_property
+    and the bm25_topk_wand_pruned contract gate).
+
+    Pre-v2 indexes (no min_tf/max_dl block metadata) fall back to the
+    single-pass wand plan."""
+    if "min_tf" not in index.segments(spark).columns:
+        return _search_from_pairs(spark, index, pairs, k, "wand")
+    kk = int(k)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    n_queries = len({q for q, _ in pairs})
+    g, n_groups = _group_params(spark, index, n_queries)
+
+    meta, _ = _query_blocks_from_pairs(spark, index, pairs, columns=_META_COLS)
+    survivors = (
+        meta.select(
+            "query_id",
+            (F.col("shard") / g).cast("int").alias("qshard"),
+            "term", "shard", "block_id", "idf", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "min_tf", "max_dl",
+        )
+        .repartition(n_groups, "query_id", "qshard")
+        .groupBy("query_id", "qshard")
+        .applyInPandas(_make_meta_prune(avgdl, kk), _SURVIVOR_SCHEMA)
+    )
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
+    per_shard = pruned.select(
+        "query_id",
+        (F.col("shard") / g).cast("int").alias("qshard"),
+        "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).repartition(n_groups, "query_id", "qshard").groupBy(
+        "query_id", "qshard"
+    ).applyInPandas(_make_wand_batched(avgdl, kk, codec), _OUT_SCHEMA)
+    return _rank_topk(per_shard, n_queries, kk)
+
+
+def _make_meta_prune(avgdl: float, k: int):
+    """Pass-1 UDF: surviving (term, shard, block_id) of one (query, qshard)
+    group from METADATA ONLY — no payload column in the input.
+
+    θ_meta: each block guarantees every one of its docs scores at least
+    lb = idf · tfpart(min_tf, max_dl) from this term alone (tfpart is
+    increasing in tf, decreasing in dl — the dual of the block-max UPPER
+    bound). Per term, accumulate blocks in descending-lb order until they
+    hold ≥ k docs (distinct within a term); the last accepted lb is then a
+    valid lower bound θ_t on the group's kth-best FULL score. θ = max over
+    terms (θ = −1 when no term has k docs — nothing prunes, everything
+    survives). Then the block-boundary range analysis of _make_wand_batched
+    phase 2: a block survives iff some overlapping range has
+    Σ_terms block-UB ≥ θ − PRUNE_EPS."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "term": pd.Series(dtype="object"),
+                "shard": pd.Series(dtype="int32"),
+                "block_id": pd.Series(dtype="int32"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+        t_np = pdf["term"].to_numpy()
+        idf_np = pdf["idf"].to_numpy().astype(np.float64)
+        first_np = pdf["first_doc"].to_numpy()
+        last_np = pdf["last_doc"].to_numpy()
+        ns_np = pdf["n"].to_numpy()
+        shard_np = pdf["shard"].to_numpy()
+        bid_np = pdf["block_id"].to_numpy()
+        ub_all = idf_np * _tfpart(
+            pdf["max_tf"].to_numpy().astype(np.float64),
+            pdf["min_dl"].to_numpy().astype(np.float64),
+            avgdl,
+        )
+        lb_all = idf_np * _tfpart(
+            pdf["min_tf"].to_numpy().astype(np.float64),
+            pdf["max_dl"].to_numpy().astype(np.float64),
+            avgdl,
+        )
+        starts = np.concatenate(
+            ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
+        )
+        terms = []
+        theta = -1.0
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            terms.append(
+                {
+                    "term": t_np[s],
+                    "first": first_np[s:e],
+                    "last": last_np[s:e],
+                    "ub": ub_all[s:e],
+                    "shard": shard_np[s:e],
+                    "bid": bid_np[s:e],
+                }
+            )
+            lb = lb_all[s:e]
+            order = np.argsort(-lb, kind="stable")
+            c = np.cumsum(ns_np[s:e][order])
+            if c[-1] >= k:
+                j = int(np.searchsorted(c, k))
+                theta = max(theta, float(lb[order][j]))
+
+        def emit(mask_per_term):
+            frames = []
+            for t, m in zip(terms, mask_per_term):
+                if m.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "term": t["term"],
+                                "shard": t["shard"][m],
+                                "block_id": t["bid"][m],
+                            }
+                        )
+                    )
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        if theta < 0:
+            return emit([np.ones(t["first"].size, dtype=bool) for t in terms])
+
+        bounds = np.unique(
+            np.concatenate(
+                [t["first"] for t in terms] + [t["last"] + 1 for t in terms]
+            )
+        )
+        if bounds.size < 2:
+            return emit([np.ones(t["first"].size, dtype=bool) for t in terms])
+        rstarts = bounds[:-1]
+        range_ub = np.zeros(rstarts.size)
+        for t in terms:
+            bi = np.searchsorted(t["last"], rstarts)
+            valid = bi < t["first"].size
+            bi_c = np.minimum(bi, t["first"].size - 1)
+            covers = valid & (t["first"][bi_c] <= rstarts)
+            range_ub[covers] += t["ub"][bi_c[covers]]
+        survive = range_ub >= theta - PRUNE_EPS
+        sur_starts = rstarts[survive]
+        sur_ends = bounds[1:][survive]
+        masks = []
+        for t in terms:
+            if sur_starts.size == 0:
+                masks.append(np.zeros(t["first"].size, dtype=bool))
+                continue
+            i = np.searchsorted(sur_ends, t["first"], side="right")
+            masks.append(
+                (i < sur_starts.size)
+                & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
+            )
+        return emit(masks)
+
+    return fn
 
 
 def search_topk_fresh(

@@ -239,3 +239,16 @@ def test_fuzzy_expansion_uses_persisted_bigram_table(spark, index_small):
         h = IndexHandle(legacy)
         fallback = expand_fuzzy_queries(spark, h, queries)
     assert persisted == fallback and len(persisted) > 0
+
+
+def test_wand_pruned_mode_equals_exhaustive(spark, index_small):
+    """End-to-end two-pass metadata-pruned serving (pass 1 metadata-only θ +
+    survivor set, pass 2 payload shuffle of survivors only) must be
+    rank-and-score identical to the exhaustive plan."""
+    ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive"))
+    pr = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="wand_pruned"))
+    assert pr == ex and len(ex) > 0
+    # single-query path too (TakeOrderedAndProject branch)
+    e1 = _norm(search_topk(spark, index_small, REFERENCE_QUERIES[:1], k=5, mode="exhaustive"))
+    p1 = _norm(search_topk(spark, index_small, REFERENCE_QUERIES[:1], k=5, mode="wand_pruned"))
+    assert p1 == e1 and len(e1) > 0

@@ -64,22 +64,24 @@ def test_posting_blocks_roundtrip(p):
     docs, tfs, dls = p
     blocks = encode_posting_blocks(docs, tfs, dls)
     # per-block decode
-    d2 = decode_block_list([b[6] for b in blocks])
+    d2 = decode_block_list([b[8] for b in blocks])
     assert np.array_equal(d2[0], docs)
     assert np.array_equal(d2[1], tfs)
     assert np.array_equal(d2[2], dls)
     # vectorized multi-block decode
-    d3 = decode_block_rows([b[6] for b in blocks], np.array([b[0] for b in blocks]))
+    d3 = decode_block_rows([b[8] for b in blocks], np.array([b[0] for b in blocks]))
     assert np.array_equal(d3[0], docs)
     assert np.array_equal(d3[1], tfs)
     assert np.array_equal(d3[2], dls)
     # metadata invariants (block footer, src/block_writer.rs:126-134)
     pos = 0
-    for n, first, last, max_tf, min_dl, sum_tf, _ in blocks:
+    for n, first, last, max_tf, min_dl, min_tf, max_dl, sum_tf, _ in blocks:
         assert n <= BLOCK_SIZE
         assert first == docs[pos] and last == docs[pos + n - 1]
         assert max_tf == tfs[pos : pos + n].max()
         assert min_dl == dls[pos : pos + n].min()
+        assert min_tf == tfs[pos : pos + n].min()
+        assert max_dl == dls[pos : pos + n].max()
         assert sum_tf == tfs[pos : pos + n].sum()
         pos += n
     assert pos == docs.size
@@ -97,10 +99,10 @@ def test_encode_rejects_unsorted():
 def test_merge_last_generation_wins():
     # MergerIter source-order semantics (src/merger.rs:51-57): newest
     # generation replaces the posting for a re-crawled doc.
-    g0 = [b[6] for b in encode_posting_blocks(np.array([1, 5, 9]), np.array([2, 3, 4]), np.array([10, 10, 10]))]
-    g1 = [b[6] for b in encode_posting_blocks(np.array([5, 7]), np.array([30, 1]), np.array([99, 7]))]
+    g0 = [b[8] for b in encode_posting_blocks(np.array([1, 5, 9]), np.array([2, 3, 4]), np.array([10, 10, 10]))]
+    g1 = [b[8] for b in encode_posting_blocks(np.array([5, 7]), np.array([30, 1]), np.array([99, 7]))]
     merged = merge_posting_blocks([g0, g1])
-    d, tf, dl = decode_block_list([b[6] for b in merged])
+    d, tf, dl = decode_block_list([b[8] for b in merged])
     assert d.tolist() == [1, 5, 7, 9]
     assert tf.tolist() == [2, 30, 1, 4]  # doc 5 took generation-1 value
     assert dl.tolist() == [10, 99, 7, 10]
@@ -123,10 +125,10 @@ def generation_postings(draw):
 @settings(max_examples=60, deadline=None)
 def test_merge_generations_newest_wins_property(gens):
     payload_lists = [
-        [b[6] for b in encode_posting_blocks(d, t, l)] for d, t, l in gens
+        [b[8] for b in encode_posting_blocks(d, t, l)] for d, t, l in gens
     ]
     merged = merge_posting_blocks(payload_lists)
-    d, tf, dl = decode_block_list([b[6] for b in merged])
+    d, tf, dl = decode_block_list([b[8] for b in merged])
     # oracle: dict updated oldest -> newest
     want: dict[int, tuple[int, int]] = {}
     for docs, tfs, dls in gens:
@@ -147,5 +149,5 @@ def test_block_boundary_restart():
     assert len(blocks) == 4
     assert blocks[-1][0] == 7
     # decode only the third block standalone
-    d, _, _ = decode_block(blocks[2][6])
+    d, _, _ = decode_block(blocks[2][8])
     assert np.array_equal(d, docs[2 * BLOCK_SIZE : 3 * BLOCK_SIZE])

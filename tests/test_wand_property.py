@@ -36,13 +36,14 @@ def query_group(draw):
         tfs = np.array([draw(st.sampled_from([1, 1, 2, 5]))for _ in docs], dtype=np.int64)
         dls = np.array([draw(st.sampled_from([10, 10, 40]))for _ in docs], dtype=np.int64)
         idf = float(draw(st.floats(0.05, 3.0, allow_nan=False)))
-        for bid, (n, first, last, max_tf, min_dl, sum_tf, payload) in enumerate(
+        for bid, (n, first, last, max_tf, min_dl, min_tf, max_dl, sum_tf, payload) in enumerate(
             encode_posting_blocks(docs, tfs, dls, block_size)
         ):
             rows.append(
                 {
                     "query_id": 1,
                     "shard": 0,
+                    "block_id": bid,
                     "term": f"t{ti}",
                     "idf": idf,
                     "n": n,
@@ -50,6 +51,8 @@ def query_group(draw):
                     "last_doc": last,
                     "max_tf": max_tf,
                     "min_dl": min_dl,
+                    "min_tf": min_tf,
+                    "max_dl": max_dl,
                     "payload": payload,
                 }
             )
@@ -74,3 +77,24 @@ def test_wand_modes_equal_exhaustive(qg, k):
 
     assert r(wb) == r(ex)
     assert r(wc) == r(ex)
+
+
+@given(query_group(), st.integers(1, 15))
+@settings(max_examples=200, deadline=None)
+def test_metadata_prune_preserves_topk(qg, k):
+    """The pass-1 METADATA pruner (no payload input) must never drop a block
+    the exact top-k depends on: scoring only its surviving blocks with the
+    batched WAND must equal the exhaustive scorer over ALL blocks — on
+    arbitrary posting sets, including θ ties at block boundaries."""
+    from grenad_spark.query.search import _make_meta_prune
+
+    pdf, avgdl = qg
+    surv = _make_meta_prune(avgdl, k)(pdf.copy())
+    keep = pdf.merge(surv, on=["query_id", "term", "shard", "block_id"])
+    ex = _norm(_make_exhaustive(avgdl, k)(pdf.copy()))
+    pruned = _norm(_make_wand_batched(avgdl, k)(keep))
+
+    def r(rows):
+        return [(q, d, round(s, 9)) for q, d, s in rows]
+
+    assert r(pruned) == r(ex)
