@@ -13,7 +13,14 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
 3. Seek throughput: 639 batched posting-level gte-seeks per iteration
    (the benches/index-levels.rs workload shape) + single-seek latency.
 4. WAND pruning showcase on a zipfian-vocabulary variant (the base corpus
-   is uniform by construction, so pruning cannot fire there).
+   is uniform by construction, so pruning cannot fire there): single-pass
+   wand, exhaustive, TWO-PASS metadata-pruned (wand_pruned), shared-decode
+   batch, plus the survivor ratio — the fraction of block payloads that
+   cross the serving shuffle under the two-pass plan.
+
+The host memory-bandwidth ceiling is probed pre- AND post-build (interleaved
+with the legs it normalizes — this box drifts hourly) and both probes are
+recorded in the JSON.
 
 Prints ONE JSON line: {"metric", "value" (total suite sec), "unit": "sec",
 "queries": {...per-phase/per-query sec...}, "sf", plus scaling fields}.
@@ -185,6 +192,13 @@ def main() -> None:
     eff: dict[str, float] = {}
     n_docs = 0
     n_docs_small = 0
+    # ceiling measured INTERLEAVED with the build section (pre + post), not
+    # hours apart: this host's bandwidth drifts hourly, and a ceiling from a
+    # different window corrupted the r2 normalized figure (BENCH_r02 0.869 vs
+    # the doc's 0.35-0.42 window). Both probes are recorded; normalization
+    # uses their mean and the spread is reported as the honesty band.
+    ceiling_pre = host_memory_ceiling()
+    log(f"host ceiling (pre-build probe): {ceiling_pre:.3f}")
     for size_name, repl in (("large", REPL), ("small", small_repl)):
         lows, highs = [], []
         nd = 0
@@ -205,7 +219,9 @@ def main() -> None:
             n_docs_small = nd
 
     efficiency = eff["large"]
-    ceiling = host_memory_ceiling()
+    ceiling_post = host_memory_ceiling()
+    log(f"host ceiling (post-build probe): {ceiling_post:.3f}")
+    ceiling = (ceiling_pre + ceiling_post) / 2
     # normalized = raw / measured host ceiling: >1 means the engine scaled
     # better than the host's memory system allows an ideal job to (bandwidth
     # drifts on this multi-tenant box); reported UNCLAMPED, as derived
@@ -213,7 +229,8 @@ def main() -> None:
     normalized = efficiency / ceiling if ceiling > 0 else float("nan")
     log(
         f"scaling efficiency ({LOW_CPUS}->{HIGH_CPUS}): large={eff['large']:.3f} "
-        f"small={eff['small']:.3f} (host memory-bound ceiling {ceiling:.3f} "
+        f"small={eff['small']:.3f} (host memory-bound ceiling "
+        f"{ceiling_pre:.3f}/{ceiling_post:.3f} pre/post, mean {ceiling:.3f} "
         f"-> normalized {normalized:.3f})"
     )
 
@@ -325,7 +342,10 @@ def main() -> None:
 
     from grenad_spark.index.build import build_index
 
-    zdocs, zn = replicated_docs(spark, SF_DIR, max(1, REPL // 4))
+    # FULL replication for this leg: the pruning economics only become
+    # visible above the fixed per-job cost (at repl/4 the rare terms have
+    # ~160 postings and stage overhead drowns the decode/shuffle savings)
+    zdocs, zn = replicated_docs(spark, SF_DIR, REPL)
     zdocs = zdocs.select(
         "doc_id",
         F.concat("text", F.lit(" zzz"), (F.col("doc_id") % 977).cast("string")).alias("text"),
@@ -335,17 +355,54 @@ def main() -> None:
     zidx = IndexHandle("/tmp/bench_idx_zipf")
     zqueries = [(i, f"zzz{(i * 13) % 977} data stream") for i in range(64)]
     zres = {}
-    for mode in ("wand", "exhaustive"):
+    zmodes = ("wand", "exhaustive", "wand_pruned")
+    for mode in zmodes:
         search_topk(spark, zidx, zqueries[:4], k=10, mode=mode).collect()  # warm
-    zt = {"wand": float("inf"), "exhaustive": float("inf")}
+    zt = {m: float("inf") for m in zmodes}
     for _ in range(2):
-        for mode in ("wand", "exhaustive"):
+        for mode in zmodes:
             t0 = time.time()
             zres[mode] = sorted(map(tuple, search_topk(spark, zidx, zqueries, k=10, mode=mode).collect()))
             zt[mode] = min(zt[mode], time.time() - t0)
     assert zres["wand"] == zres["exhaustive"], "zipf wand/exhaustive diverged"
+    assert zres["wand_pruned"] == zres["exhaustive"], "zipf wand_pruned diverged"
     queries["zipf_batch64_wand"] = round(zt["wand"], 3)
     queries["zipf_batch64_exhaustive"] = round(zt["exhaustive"], 3)
+    queries["zipf_batch64_pruned"] = round(zt["wand_pruned"], 3)
+
+    # shuffle-∝-survivors evidence for the two-pass plan: block COUNTS and
+    # PAYLOAD BYTES of pass-1 survivors vs all query-term blocks — the
+    # payload bytes are exactly what crosses the pass-2 exchange (pass 1
+    # itself ships ~30 B metadata rows + the sparse terms' small payloads)
+    from grenad_spark.query.search import (
+        _META_COLS,
+        _query_blocks_from_pairs as _qbp,
+        _tokenize_queries as _tq,
+        survivor_blocks,
+    )
+
+    zpairs_all = _tq(zqueries)
+    allb = _qbp(spark, zidx, zpairs_all, columns=_META_COLS + ["payload"])[0]
+    tot = allb.agg(
+        F.count("*").alias("c"), F.sum(F.length("payload")).alias("b")
+    ).first()
+    total_blocks, total_bytes = int(tot["c"]), int(tot["b"])
+    sv = survivor_blocks(spark, zidx, zpairs_all, 10)
+    svb = allb.join(
+        F.broadcast(sv), ["query_id", "term", "shard", "block_id"]
+    ).agg(F.count("*").alias("c"), F.sum(F.length("payload")).alias("b")).first()
+    surv_blocks, surv_bytes = int(svb["c"]), int(svb["b"])
+    prune_ratio = surv_blocks / max(1, total_blocks)
+    queries["zipf_survivor_blocks"] = surv_blocks
+    queries["zipf_total_query_blocks"] = total_blocks
+    queries["zipf_survivor_payload_mb"] = round(surv_bytes / 1e6, 2)
+    queries["zipf_total_payload_mb"] = round(total_bytes / 1e6, 2)
+    log(
+        f"zipf pre-shuffle pruning: {surv_blocks}/{total_blocks} blocks, "
+        f"{surv_bytes / 1e6:.1f}/{total_bytes / 1e6:.1f} MB of payload cross "
+        f"the pass-2 exchange ({prune_ratio:.1%} of blocks; the rest are "
+        f"pruned from metadata before any payload byte ships)"
+    )
     zshared = float("inf")
     zs_res = None
     for _ in range(2):
@@ -354,12 +411,25 @@ def main() -> None:
         zshared = min(zshared, time.time() - t0)
     assert zs_res == zres["exhaustive"], "zipf shared batch diverged"
     queries["zipf_batch64_shared"] = round(zshared, 3)
+    # decode-once + metadata prune composed: shuffle ∝ UNION of surviving
+    # blocks, each shipped at most once — the production serving shape
+    search_topk_shared(spark, zidx, zqueries[:4], k=10, prune=True).collect()  # warm
+    zsp = float("inf")
+    zsp_res = None
+    for _ in range(2):
+        t0 = time.time()
+        zsp_res = sorted(map(tuple, search_topk_shared(spark, zidx, zqueries, k=10, prune=True).collect()))
+        zsp = min(zsp, time.time() - t0)
+    assert zsp_res == zres["exhaustive"], "zipf shared+pruned diverged"
+    queries["zipf_batch64_shared_pruned"] = round(zsp, 3)
     log(
         f"zipf pruning showcase (64 mixed rare+common queries, one job, "
         f"{zn} docs): wand={zt['wand']:.3f}s exhaustive={zt['exhaustive']:.3f}s "
-        f"shared-decode={zshared:.3f}s (results identical; wand speedup "
-        f"{zt['exhaustive'] / zt['wand']:.2f}x, shared "
-        f"{zt['exhaustive'] / zshared:.2f}x)"
+        f"pruned={zt['wand_pruned']:.3f}s shared-decode={zshared:.3f}s "
+        f"(results identical; wand {zt['exhaustive'] / zt['wand']:.2f}x, "
+        f"pruned {zt['exhaustive'] / zt['wand_pruned']:.2f}x, shared "
+        f"{zt['exhaustive'] / zshared:.2f}x, shared+pruned "
+        f"{zt['exhaustive'] / zsp:.2f}x)"
     )
 
     # COMPUTE-ONLY pruning measurement: wall-clock batches are dominated by
@@ -417,6 +487,8 @@ def main() -> None:
         "scaling_efficiency": round(eff["large"], 3),
         "scaling_efficiency_small": round(eff["small"], 3),
         "host_memory_bound_ceiling": round(ceiling, 3),
+        "host_memory_bound_ceiling_pre": round(ceiling_pre, 3),
+        "host_memory_bound_ceiling_post": round(ceiling_post, 3),
         "scaling_efficiency_normalized": round(normalized, 3),
         "scaling_levels": [LOW_CPUS, HIGH_CPUS],
         "bm25_p50_sec_wand": round(p50w, 3),
@@ -426,8 +498,11 @@ def main() -> None:
         "seek_batch_seeks_per_sec": round(seeks_per_sec, 1),
         "seek_single_sec": round(seek_single, 4),
         "zipf_wand_speedup": round(zt["exhaustive"] / zt["wand"], 2),
+        "zipf_pruned_speedup": round(zt["exhaustive"] / zt["wand_pruned"], 2),
         "zipf_shared_speedup": round(zt["exhaustive"] / zshared, 2),
+        "zipf_shared_pruned_speedup": round(zt["exhaustive"] / zsp, 2),
         "zipf_udf_speedup_computeonly": round(udf_ms["exhaustive"] / udf_ms["wand"], 2),
+        "zipf_shuffle_survivor_ratio": round(prune_ratio, 4),
     }
     print(json.dumps(result), flush=True)
 

@@ -522,18 +522,12 @@ def _search_pruned(
     n_queries = len({q for q, _ in pairs})
     g, n_groups = _group_params(spark, index, n_queries)
 
-    meta, _ = _query_blocks_from_pairs(spark, index, pairs, columns=_META_COLS)
-    survivors = (
-        meta.select(
-            "query_id",
-            (F.col("shard") / g).cast("int").alias("qshard"),
-            "term", "shard", "block_id", "idf", "n", "first_doc", "last_doc",
-            "max_tf", "min_dl", "min_tf", "max_dl",
-        )
-        .repartition(n_groups, "query_id", "qshard")
-        .groupBy("query_id", "qshard")
-        .applyInPandas(_make_meta_prune(avgdl, kk), _SURVIVOR_SCHEMA)
-    )
+    # explicit broadcast: the survivor list is the small side BY DESIGN
+    # (pruning selected it); relying on AQE instead costs stage
+    # materialization barriers (~0.5 s/batch measured). When a corpus/query
+    # mix prunes nothing, survivors ≈ all query-term blocks and callers
+    # should serve with mode='wand' instead (documented contract).
+    survivors = F.broadcast(survivor_blocks(spark, index, pairs, kk))
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
     per_shard = pruned.select(
@@ -547,20 +541,100 @@ def _search_pruned(
     return _rank_topk(per_shard, n_queries, kk)
 
 
-def _make_meta_prune(avgdl: float, k: int):
-    """Pass-1 UDF: surviving (term, shard, block_id) of one (query, qshard)
-    group from METADATA ONLY — no payload column in the input.
+# a query term is SPARSE when its whole posting list is comparable in size
+# to the metadata stream — its payloads ride INTO pass 1 (still tiny) and get
+# decoded there, turning its block-span upper bound into EXACT per-posting
+# positions. Without this, a rare term's block spans nearly the entire doc
+# range (164 postings spread over a shard) and its UB resurrects every range
+# it covers — measured 100% survivors on the zipf bench. With it, ranges
+# between rare postings carry zero rare mass and die: dense blocks survive
+# only around actual rare-doc positions (the MaxScore essential-list
+# economics, computed in one metadata pass).
+SPARSE_DF_MAX = 65536
 
-    θ_meta: each block guarantees every one of its docs scores at least
-    lb = idf · tfpart(min_tf, max_dl) from this term alone (tfpart is
-    increasing in tf, decreasing in dl — the dual of the block-max UPPER
-    bound). Per term, accumulate blocks in descending-lb order until they
-    hold ≥ k docs (distinct within a term); the last accepted lb is then a
-    valid lower bound θ_t on the group's kth-best FULL score. θ = max over
-    terms (θ = −1 when no term has k docs — nothing prunes, everything
-    survives). Then the block-boundary range analysis of _make_wand_batched
-    phase 2: a block survives iff some overlapping range has
-    Σ_terms block-UB ≥ θ − PRUNE_EPS."""
+
+def survivor_blocks(
+    spark: SparkSession,
+    index: IndexHandle,
+    pairs: list[tuple[int, str]],
+    k: int,
+    sparse_df_max: int = SPARSE_DF_MAX,
+) -> DataFrame:
+    """Pass-1 survivor set: (query_id, term, shard, block_id) of every block
+    whose payload must cross the shuffle for an exact top-k. Public so the
+    bench can report |survivors| / |query-term blocks| — the shuffled-bytes
+    pruning ratio the two-pass plan exists for.
+
+    Low-df (sparse) query terms contribute their PAYLOADS to the metadata
+    pass (bounded by sparse_df_max postings per term); high-df terms ship
+    metadata only. Requires the driver df map for the sparse split; falls
+    back to pure metadata without it."""
+    avgdl = float(index.avgdl)
+    n_queries = len({q for q, _ in pairs})
+    g, n_groups = _group_params(spark, index, n_queries)
+    dfm = index.df_map(spark)
+    sparse = {
+        t for _, t in pairs if dfm is not None and dfm.get(t, 1 << 62) <= sparse_df_max
+    }
+    sparse_pairs = [(q, t) for q, t in pairs if t in sparse]
+    dense_pairs = [(q, t) for q, t in pairs if t not in sparse]
+    if not sparse_pairs and not dense_pairs:
+        return spark.createDataFrame([], _SURVIVOR_SCHEMA)
+    meta = None
+    if dense_pairs:
+        md, _ = _query_blocks_from_pairs(spark, index, dense_pairs, columns=_META_COLS)
+        meta = md.withColumn("payload", F.lit(None).cast("binary"))
+    if sparse_pairs:
+        ms, _ = _query_blocks_from_pairs(
+            spark, index, sparse_pairs, columns=_META_COLS + ["payload"]
+        )
+        meta = ms if meta is None else meta.unionByName(ms)
+    # grouped by qshard ONLY (queries loop inside the UDF): the prune math
+    # is a few hundred numpy ops per query, so per-(query, qshard) groups
+    # would pay ~batch_size× more pandas group overhead than compute —
+    # measured 3× wall-clock on a 64-query batch. Metadata volume per qshard
+    # group is (batch's query-term blocks)/n_qshards — small by construction.
+    n_qshards = -(-max(1, index.n_shards) // g)
+    return (
+        meta.select(
+            "query_id",
+            (F.col("shard") / g).cast("int").alias("qshard"),
+            "term", "shard", "block_id", "idf", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "min_tf", "max_dl", "payload",
+        )
+        .repartition(min(n_groups, n_qshards), "qshard")
+        .groupBy("qshard")
+        .applyInPandas(
+            _make_meta_prune(avgdl, int(k), index.payload_codec), _SURVIVOR_SCHEMA
+        )
+    )
+
+
+def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):
+    """Pass-1 UDF: surviving (term, shard, block_id) of one (query, qshard)
+    group. Input is block METADATA for dense terms; sparse (low-df) terms
+    additionally carry their payloads (tiny by the sparse_df_max bound).
+
+    θ is the max of two valid lower bounds on the group's kth-best FULL
+    score:
+    - θ_meta (dense terms): each block guarantees every one of its docs
+      scores at least lb = idf · tfpart(min_tf, max_dl) from that term alone
+      (tfpart is increasing in tf, decreasing in dl — the dual of the
+      block-max UPPER bound). Accumulate a term's blocks in descending-lb
+      order until they hold ≥ k docs (distinct within a term); the last
+      accepted lb bounds the kth-best score from below.
+    - θ_seed (sparse terms): decode the sparse payloads and aggregate each
+      doc's EXACT sparse-term contribution; the kth-largest partial score is
+      ≤ the kth-best full score whenever ≥ k docs exist.
+
+    Range analysis (as in _make_wand_batched phase 2, block boundaries →
+    covering-block UB sums), with the sparse refinement: a decoded sparse
+    posting contributes its EXACT score at exactly its own doc position
+    (a unit-width pseudo-block) instead of a block-span UB — so ranges
+    between sparse postings carry zero sparse mass and die when the dense
+    UBs alone can't reach θ. A dense block survives iff it overlaps a
+    surviving range; sparse blocks always ship (they are the small side).
+    θ = −1 (no bound available) keeps everything — never lossy."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -573,99 +647,167 @@ def _make_meta_prune(avgdl: float, k: int):
         )
         if len(pdf) == 0:
             return empty
-        qid = int(pdf["query_id"].iloc[0])
-        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
-        t_np = pdf["term"].to_numpy()
-        idf_np = pdf["idf"].to_numpy().astype(np.float64)
-        first_np = pdf["first_doc"].to_numpy()
-        last_np = pdf["last_doc"].to_numpy()
-        ns_np = pdf["n"].to_numpy()
-        shard_np = pdf["shard"].to_numpy()
-        bid_np = pdf["block_id"].to_numpy()
-        ub_all = idf_np * _tfpart(
-            pdf["max_tf"].to_numpy().astype(np.float64),
-            pdf["min_dl"].to_numpy().astype(np.float64),
-            avgdl,
+        # one qshard group holds EVERY query of the batch: sort once, slice
+        # per query, run the prune per slice (decoded sparse payloads are
+        # cached across queries sharing a (term, shard, block) — common in
+        # real batches)
+        pdf = pdf.sort_values(["query_id", "term", "first_doc"], kind="stable")
+        q_np = pdf["query_id"].to_numpy()
+        qstarts = np.concatenate(
+            ([0], np.flatnonzero(q_np[1:] != q_np[:-1]) + 1, [q_np.size])
         )
-        lb_all = idf_np * _tfpart(
-            pdf["min_tf"].to_numpy().astype(np.float64),
-            pdf["max_dl"].to_numpy().astype(np.float64),
-            avgdl,
-        )
-        starts = np.concatenate(
-            ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
-        )
-        terms = []
-        theta = -1.0
-        for si in range(starts.size - 1):
-            s, e = int(starts[si]), int(starts[si + 1])
-            terms.append(
-                {
-                    "term": t_np[s],
-                    "first": first_np[s:e],
-                    "last": last_np[s:e],
-                    "ub": ub_all[s:e],
-                    "shard": shard_np[s:e],
-                    "bid": bid_np[s:e],
-                }
+        decoded_cache: dict = {}
+        outs = []
+        for qi in range(qstarts.size - 1):
+            out = _prune_one_query(
+                pdf.iloc[int(qstarts[qi]) : int(qstarts[qi + 1])],
+                avgdl, k, codec, decoded_cache, empty,
             )
-            lb = lb_all[s:e]
-            order = np.argsort(-lb, kind="stable")
-            c = np.cumsum(ns_np[s:e][order])
-            if c[-1] >= k:
-                j = int(np.searchsorted(c, k))
-                theta = max(theta, float(lb[order][j]))
-
-        def emit(mask_per_term):
-            frames = []
-            for t, m in zip(terms, mask_per_term):
-                if m.any():
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qid,
-                                "term": t["term"],
-                                "shard": t["shard"][m],
-                                "block_id": t["bid"][m],
-                            }
-                        )
-                    )
-            return pd.concat(frames, ignore_index=True) if frames else empty
-
-        if theta < 0:
-            return emit([np.ones(t["first"].size, dtype=bool) for t in terms])
-
-        bounds = np.unique(
-            np.concatenate(
-                [t["first"] for t in terms] + [t["last"] + 1 for t in terms]
-            )
-        )
-        if bounds.size < 2:
-            return emit([np.ones(t["first"].size, dtype=bool) for t in terms])
-        rstarts = bounds[:-1]
-        range_ub = np.zeros(rstarts.size)
-        for t in terms:
-            bi = np.searchsorted(t["last"], rstarts)
-            valid = bi < t["first"].size
-            bi_c = np.minimum(bi, t["first"].size - 1)
-            covers = valid & (t["first"][bi_c] <= rstarts)
-            range_ub[covers] += t["ub"][bi_c[covers]]
-        survive = range_ub >= theta - PRUNE_EPS
-        sur_starts = rstarts[survive]
-        sur_ends = bounds[1:][survive]
-        masks = []
-        for t in terms:
-            if sur_starts.size == 0:
-                masks.append(np.zeros(t["first"].size, dtype=bool))
-                continue
-            i = np.searchsorted(sur_ends, t["first"], side="right")
-            masks.append(
-                (i < sur_starts.size)
-                & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
-            )
-        return emit(masks)
+            if len(out):
+                outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return fn
+
+
+def _prune_one_query(
+    pdf: pd.DataFrame, avgdl: float, k: int, codec: str, decoded_cache: dict, empty: pd.DataFrame
+) -> pd.DataFrame:
+    """Prune one query's blocks within one qshard group (see _make_meta_prune
+    for the math). pdf is pre-sorted by (term, first_doc)."""
+    qid = int(pdf["query_id"].iloc[0])
+    t_np = pdf["term"].to_numpy()
+    idf_np = pdf["idf"].to_numpy().astype(np.float64)
+    first_np = pdf["first_doc"].to_numpy()
+    last_np = pdf["last_doc"].to_numpy()
+    ns_np = pdf["n"].to_numpy()
+    shard_np = pdf["shard"].to_numpy()
+    bid_np = pdf["block_id"].to_numpy()
+    pay_np = (
+        pdf["payload"].to_numpy() if "payload" in pdf.columns
+        else np.full(t_np.size, None, dtype=object)
+    )
+    ub_all = idf_np * _tfpart(
+        pdf["max_tf"].to_numpy().astype(np.float64),
+        pdf["min_dl"].to_numpy().astype(np.float64),
+        avgdl,
+    )
+    lb_all = idf_np * _tfpart(
+        pdf["min_tf"].to_numpy().astype(np.float64),
+        pdf["max_dl"].to_numpy().astype(np.float64),
+        avgdl,
+    )
+    starts = np.concatenate(
+        ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
+    )
+    terms = []          # dense: block-granular entries for range math
+    sparse_terms = []   # sparse: exact per-doc pseudo-blocks
+    seed_docs, seed_scores = [], []
+    theta = -1.0
+    for si in range(starts.size - 1):
+        s, e = int(starts[si]), int(starts[si + 1])
+        entry = {
+            "term": t_np[s],
+            "shard": shard_np[s:e],
+            "bid": bid_np[s:e],
+        }
+        if pay_np[s] is not None:
+            # sparse term: decode now — exact positions + contributions.
+            # Cached across the group's queries: a batch's queries share
+            # terms, and each (term, blocks) decodes once per qshard group
+            ck = (t_np[s], int(shard_np[s]), int(bid_np[s]), e - s)
+            hit = decoded_cache.get(ck)
+            if hit is None:
+                hit = decode_block_rows(
+                    decompress_payloads(list(pay_np[s:e]), codec), ns_np[s:e]
+                )
+                decoded_cache[ck] = hit
+            d, tf, dl = hit
+            c = float(idf_np[s]) * _tfpart(
+                tf.astype(np.float64), dl.astype(np.float64), avgdl
+            )
+            entry["first"] = d
+            entry["last"] = d
+            entry["ub"] = c
+            sparse_terms.append(entry)
+            seed_docs.append(d)
+            seed_scores.append(c)
+            continue
+        entry["first"] = first_np[s:e]
+        entry["last"] = last_np[s:e]
+        entry["ub"] = ub_all[s:e]
+        terms.append(entry)
+        lb = lb_all[s:e]
+        order = np.argsort(-lb, kind="stable")
+        c = np.cumsum(ns_np[s:e][order])
+        if c[-1] >= k:
+            j = int(np.searchsorted(c, k))
+            theta = max(theta, float(lb[order][j]))
+    if seed_docs:
+        sd = np.concatenate(seed_docs)
+        if sd.size:
+            uniq, inv = np.unique(sd, return_inverse=True)
+            agg = np.zeros(uniq.size)
+            np.add.at(agg, inv, np.concatenate(seed_scores))
+            if uniq.size >= k:
+                theta = max(
+                    theta, float(np.partition(agg, uniq.size - k)[uniq.size - k])
+                )
+
+    def emit(mask_per_term):
+        frames = []
+        all_terms = terms + sparse_terms
+        all_masks = list(mask_per_term) + [
+            np.ones(t["shard"].size, dtype=bool) for t in sparse_terms
+        ]
+        for t, m in zip(all_terms, all_masks):
+            if m.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "term": t["term"],
+                            "shard": t["shard"][m],
+                            "block_id": t["bid"][m],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    if theta < 0 or not terms:
+        return emit([np.ones(t["shard"].size, dtype=bool) for t in terms])
+
+    rterms = terms + sparse_terms  # both contribute range mass
+    bounds = np.unique(
+        np.concatenate(
+            [t["first"] for t in rterms] + [t["last"] + 1 for t in rterms]
+        )
+    )
+    if bounds.size < 2:
+        return emit([np.ones(t["shard"].size, dtype=bool) for t in terms])
+    rstarts = bounds[:-1]
+    range_ub = np.zeros(rstarts.size)
+    for t in rterms:
+        bi = np.searchsorted(t["last"], rstarts)
+        valid = bi < t["first"].size
+        bi_c = np.minimum(bi, t["first"].size - 1)
+        covers = valid & (t["first"][bi_c] <= rstarts)
+        range_ub[covers] += t["ub"][bi_c[covers]]
+    survive = range_ub >= theta - PRUNE_EPS
+    sur_starts = rstarts[survive]
+    sur_ends = bounds[1:][survive]
+    masks = []
+    for t in terms:
+        if sur_starts.size == 0:
+            masks.append(np.zeros(t["first"].size, dtype=bool))
+            continue
+        i = np.searchsorted(sur_ends, t["first"], side="right")
+        masks.append(
+            (i < sur_starts.size)
+            & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
+        )
+    return emit(masks)
+
 
 
 def search_topk_fresh(
@@ -786,6 +928,7 @@ def search_topk_shared(
     index: IndexHandle,
     queries: list[tuple[int, str]],
     k: int = 10,
+    prune: bool = False,
 ) -> DataFrame:
     """DECODE-ONCE, SCORE-MANY batch serving.
 
@@ -797,6 +940,14 @@ def search_topk_shared(
     against the decoded arrays inside one UDF pass — the standard batch shape
     of production search tiers. Results are identical to mode='exhaustive'
     (asserted in tests/test_search.py).
+
+    prune=True composes the pass-1 metadata pruner on top: shuffle becomes
+    ∝ the UNION over queries of surviving blocks (each block still ships at
+    most once). Exact by the same argument as wand_pruned: a block pruned
+    for query q only held docs whose full q-score is below q's θ − ε, so the
+    partial scores those docs may get from blocks other queries kept can
+    never enter q's top-k even on a rounded tie. Requires v2 block metadata;
+    silently serves unpruned otherwise.
 
     Requires the driver-held df map (vocab-gated); falls back to the
     per-query batched WAND path on huge vocabularies."""
@@ -822,6 +973,13 @@ def search_topk_shared(
     g, n_qshards = _qshard_params(spark, index)
 
     seg = index.segments(spark).filter(F.col("term").isin(terms))
+    if prune and "min_tf" in seg.columns:
+        surv = F.broadcast(
+            survivor_blocks(spark, index, pairs, kk)
+            .select("term", "shard", "block_id")
+            .distinct()
+        )
+        seg = seg.join(surv, ["term", "shard", "block_id"])
     blocks = seg.select(
         (F.col("shard") / g).cast("int").alias("qshard"),
         "term", "n", "payload",
@@ -936,13 +1094,29 @@ def _make_exhaustive(avgdl: float, k: int, codec: str = "none"):
     return fn
 
 
-def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
+# in-UDF sparse threshold: a term whose postings WITHIN the group total at
+# most this many decodes upfront and prunes at exact posting positions (unit
+# pseudo-blocks). Without it, a rare term's block span covers most of the
+# group's doc range and its UB resurrects every range it touches — block-
+# granular pruning then structurally can't fire on exactly the zipfian
+# queries it exists for (measured: ~100% of ranges survived).
+SPARSE_GROUP_POSTINGS = 4096
+
+
+def _make_wand_batched(
+    avgdl: float, k: int, codec: str = "none",
+    sparse_postings_max: int = SPARSE_GROUP_POSTINGS,
+):
     """Batched block-max pruning — the vectorized serving path.
 
     The cursor WAND (_make_wand) is algorithmically faithful to grenad's
     pull-based seek loop but pays per-pivot Python overhead. This variant
     keeps the same block-max math with NO per-doc Python:
 
+      0. SPARSE terms (≤ sparse_postings_max postings in the group) decode
+         upfront — cheap by the bound — and turn into exact unit-width
+         pseudo-blocks (first=last=doc, ub=exact contribution), so ranges
+         BETWEEN their postings carry zero mass from them.
       1. θ₀: decode the single best block of the highest-impact term, compute
          those docs' EXACT scores (decoding just the blocks of other terms
          that contain them), take the kth best.
@@ -953,8 +1127,9 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
          to surviving ranges (exactness at θ ties), scatter-add, top-k.
 
     On adversarially uniform corpora nothing prunes and this degrades to the
-    exhaustive scorer plus metadata work; on zipfian corpora the range UBs
-    kill the head-term-only ranges, exactly like block-max WAND.
+    exhaustive scorer plus metadata work; on zipfian corpora the rare terms'
+    exact positions kill every head-term-only range, exactly like block-max
+    WAND over essential lists.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -996,14 +1171,32 @@ def _make_wand_batched(avgdl: float, k: int, codec: str = "none"):
             return _empty_out()
 
         def decode_term_blocks(t, bidx):
-            """Decode selected blocks of one term -> (docs, scores)."""
+            """Decode selected blocks of one term -> (docs, scores). A
+            sparse term's pseudo-blocks are one posting each — slicing the
+            cached decode IS the block selection."""
             if bidx.size == 0:
                 return np.empty(0, dtype=np.int64), np.empty(0)
+            if "decoded" in t:
+                d, s = t["decoded"]
+                return d[bidx], s[bidx]
             d, tf, dl = decode_block_rows(
                 decompress_payloads([t["payloads"][i] for i in bidx], codec), t["ns"][bidx]
             )
             s = t["idf"] * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
             return d, s
+
+        # --- phase 0: sparse terms -> exact unit pseudo-blocks
+        if len(terms) > 1:
+            for t in terms:
+                tot = int(t["ns"].sum())
+                if 0 < tot <= int(sparse_postings_max):
+                    d, s = decode_term_blocks(t, np.arange(len(t["payloads"])))
+                    t["first"] = d
+                    t["last"] = d
+                    t["ns"] = np.ones(d.size, dtype=np.int64)
+                    t["ub"] = s
+                    t["decoded"] = (d, s)
+                    t["payloads"] = [None] * d.size  # len() used for bounds
 
         # --- phase 1: θ₀ from the best blocks of the highest-impact terms.
         # Take blocks in descending-UB order until the seed holds ≥ k DISTINCT

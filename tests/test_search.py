@@ -252,3 +252,13 @@ def test_wand_pruned_mode_equals_exhaustive(spark, index_small):
     e1 = _norm(search_topk(spark, index_small, REFERENCE_QUERIES[:1], k=5, mode="exhaustive"))
     p1 = _norm(search_topk(spark, index_small, REFERENCE_QUERIES[:1], k=5, mode="wand_pruned"))
     assert p1 == e1 and len(e1) > 0
+
+
+def test_shared_batch_pruned_equals_exhaustive(spark, index_small):
+    """Decode-once batch with the pass-1 metadata pruner composed on top
+    (shuffle ∝ union of surviving blocks) must stay result-identical."""
+    from grenad_spark.query.search import search_topk_shared
+
+    ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive"))
+    sp = _norm(search_topk_shared(spark, index_small, REFERENCE_QUERIES, k=10, prune=True))
+    assert sp == ex and len(ex) > 0

@@ -68,7 +68,11 @@ def _norm(df):
 def test_wand_modes_equal_exhaustive(qg, k):
     pdf, avgdl = qg
     ex = _norm(_make_exhaustive(avgdl, k)(pdf.copy()))
+    # default: small fuzz lists all take the sparse pseudo-block path;
+    # sparse_postings_max=0 forces the block-granular (dense) path — both
+    # must stay rank-identical to exhaustive
     wb = _norm(_make_wand_batched(avgdl, k)(pdf.copy()))
+    wd = _norm(_make_wand_batched(avgdl, k, sparse_postings_max=0)(pdf.copy()))
     wc = _norm(_make_wand(avgdl, k)(pdf.copy()))
     # scores are floats computed along different code paths -> compare with
     # rounding (the engine rounds to 4 decimals before ranking anyway)
@@ -76,20 +80,29 @@ def test_wand_modes_equal_exhaustive(qg, k):
         return [(q, d, round(s, 9)) for q, d, s in rows]
 
     assert r(wb) == r(ex)
+    assert r(wd) == r(ex)
     assert r(wc) == r(ex)
 
 
-@given(query_group(), st.integers(1, 15))
+@given(query_group(), st.integers(1, 15), st.integers(0, 15))
 @settings(max_examples=200, deadline=None)
-def test_metadata_prune_preserves_topk(qg, k):
-    """The pass-1 METADATA pruner (no payload input) must never drop a block
-    the exact top-k depends on: scoring only its surviving blocks with the
-    batched WAND must equal the exhaustive scorer over ALL blocks — on
-    arbitrary posting sets, including θ ties at block boundaries."""
+def test_metadata_prune_preserves_topk(qg, k, dense_bits):
+    """The pass-1 pruner must never drop a block the exact top-k depends on:
+    scoring only its surviving blocks with the batched WAND must equal the
+    exhaustive scorer over ALL blocks — on arbitrary posting sets, including
+    θ ties at block boundaries, and for every dense/sparse term split
+    (dense terms are metadata-only: payload withheld from the pruner;
+    sparse terms carry payloads and prune at exact posting positions)."""
     from grenad_spark.query.search import _make_meta_prune
 
     pdf, avgdl = qg
-    surv = _make_meta_prune(avgdl, k)(pdf.copy())
+    meta = pdf.copy()
+    # term ti is DENSE iff bit i of dense_bits is set — fuzz all splits
+    meta["payload"] = [
+        None if (dense_bits >> int(t[1:])) & 1 else p
+        for t, p in zip(meta["term"], meta["payload"])
+    ]
+    surv = _make_meta_prune(avgdl, k)(meta)
     keep = pdf.merge(surv, on=["query_id", "term", "shard", "block_id"])
     ex = _norm(_make_exhaustive(avgdl, k)(pdf.copy()))
     pruned = _norm(_make_wand_batched(avgdl, k)(keep))
