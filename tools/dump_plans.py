@@ -86,23 +86,32 @@ def main() -> None:
 
     from grenad_spark.query.search import _tokenize_queries, survivor_blocks
 
-    surv = survivor_blocks(spark, idx, _tokenize_queries(REFERENCE_QUERIES[:2]), 10)
+    # sparse_df_max=0 forces every term onto the DENSE branch so the dump
+    # pins the payload-free ReadSchema; in production low-df terms take a
+    # second, payload-carrying scan branch (bounded by sparse_df_max
+    # postings/term) so their exact positions can prune at pass 1
+    surv = survivor_blocks(
+        spark, idx, _tokenize_queries(REFERENCE_QUERIES[:2]), 10, sparse_df_max=0
+    )
     sections.append(
         (
-            "Serving: pass-1 metadata prune (payload never read)",
+            "Serving: pass-1 metadata prune (dense branch — payload never read)",
             "Must show: the segment scan's ReadSchema WITHOUT the payload "
-            "column — pass 1 ships ~30 B metadata rows into the prune UDF; "
-            "payload bytes stay on disk until pass 2's survivor join.",
+            "column — pass 1 ships ~30 B metadata rows into the prune UDF for "
+            "dense terms; payload bytes stay on disk until pass 2's survivor "
+            "join. (Sparse low-df terms take a separate scan branch carrying "
+            "their small payloads, bounded by sparse_df_max postings/term.)",
             plan_str(surv),
         )
     )
     sections.append(
         (
             "Serving: two-pass pruned end-to-end (wand_pruned)",
-            "Must show: TWO segment scans — metadata-only into the prune UDF, "
-            "full into the survivor join — so that under AQE the survivor side "
-            "broadcasts and only surviving payload rows cross the scoring "
-            "exchange (shuffle ∝ survivors, not all query-term blocks).",
+            "Must show: TWO segment scans — metadata-only (plus sparse-term "
+            "payloads) into the prune UDF, full into the survivor join — with "
+            "the survivor side EXPLICITLY broadcast so only surviving payload "
+            "rows cross the single scoring exchange (shuffle ∝ survivors, not "
+            "all query-term blocks).",
             plan_str(
                 search_topk(spark, idx, REFERENCE_QUERIES[:2], k=10, mode="wand_pruned")
             ),
