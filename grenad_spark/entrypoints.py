@@ -619,6 +619,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.5)
 
 
+@register("dedup_minhash_clusters", dedup.sql_dup_clusters(0.5))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (connected components over the MinHash pair graph)
+    — what a keep-one-per-cluster dedup actually consumes. Spark side:
+    iterative min-label propagation (rounds = graph diameter, each one
+    co-partitioned join + min-agg); oracle: recursive-CTE transitive closure
+    over the identical pair set."""
+    return dedup.dup_clusters(dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.5))
+
+
 @register("dedup_simhash", dedup.sql_simhash())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))

@@ -469,3 +469,84 @@ SELECT vec_a, vec_b, cos FROM (
   JOIN embeddings eb ON eb.vec_id = c.vec_b
 ) WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) connected components over a near-dup pair set —
+    what a dedup pipeline actually consumes (keep one doc per CLUSTER, not
+    per pair; pairs alone under-remove on transitive near-dups A~B~C).
+    cluster_id = the smallest doc_id reachable.
+
+    Iterative min-label propagation: each round is one doc-keyed
+    co-partitioned join + min-aggregate (work ∝ |edges|), and the number of
+    rounds is the graph diameter — tiny for near-dup graphs, whose
+    components are near-cliques (threshold similarity is near-transitive).
+    Convergence is detected by the monotone Σcomp invariant (labels only
+    ever decrease; equal sums ⇔ fixpoint), one scalar agg per round — no
+    row-level diff join. A pathological long-chain graph would need
+    large-star/small-star doubling (O(log n) rounds); max_iters guards it
+    loudly instead of silently mislabeling."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    comp = edges.groupBy("src").agg(F.min("dst").alias("m")).select(
+        F.col("src").alias("node"),
+        F.least(F.col("src"), F.col("m")).alias("comp"),
+    )
+    comp = comp.persist()
+    prev_sum = comp.agg(F.sum("comp")).first()[0]
+    if prev_sum is None:  # no duplicate pairs at all
+        return comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("cluster_id")
+        )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(comp.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nc"))
+            .withColumnRenamed("src", "node")
+        )
+        nxt = comp.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+        ).persist()
+        new_sum = nxt.agg(F.sum("comp")).first()[0]
+        comp.unpersist()
+        comp = nxt
+        if new_sum == prev_sum:
+            return comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("comp").cast("long").alias("cluster_id"),
+            )
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iters} rounds — graph diameter "
+        f"exceeds the near-dup assumption; use star-doubling for chain graphs"
+    )
+
+
+def sql_dup_clusters(threshold: float = 0.5) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE over the SAME
+    bucketed MinHash pair set, then min reachable per node. Closure is
+    O(component²) — fine for the oracle's small scale, never for the engine."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({sql_minhash_lsh(threshold)})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON t.node = e.dst
+)
+SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+"""

@@ -173,3 +173,35 @@ def test_ivf_assignment_is_shuffle_free(spark, emb):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "Window", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, f"{op} in assignment plan:\n{plan}"
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation must produce exact connected components:
+    transitive chains collapse to one cluster labeled by its min member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 99)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        5: 5, 99: 5,
+    }
+
+
+def test_dup_clusters_empty_and_minhash_consistency(spark, docs_small):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dup_clusters(empty).count() == 0
+    # every pair's endpoints land in the same cluster; cluster_id is a member
+    pairs = dedup.minhash_lsh_pairs(docs_small, 0.5)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    prows = pairs.collect()
+    assert len(prows) > 0
+    for r in prows:
+        assert clusters[r["doc_a"]] == clusters[r["doc_b"]]
+    members = set(clusters)
+    assert set(clusters.values()) <= members
+    for d, c in clusters.items():
+        assert c <= d  # label is the min member
