@@ -359,7 +359,7 @@ def main() -> None:
     for mode in zmodes:
         search_topk(spark, zidx, zqueries[:4], k=10, mode=mode).collect()  # warm
     zt = {m: float("inf") for m in zmodes}
-    for _ in range(2):
+    for _ in range(3):
         for mode in zmodes:
             t0 = time.time()
             zres[mode] = sorted(map(tuple, search_topk(spark, zidx, zqueries, k=10, mode=mode).collect()))
