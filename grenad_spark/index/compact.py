@@ -146,7 +146,12 @@ def compact_indexes(
     for i, h in enumerate(handles):
         s = h.segments(spark).withColumn("gen", F.lit(i))
         d = h.docs(spark).withColumn("gen", F.lit(i))
-        seg_union = s if seg_union is None else seg_union.unionByName(s)
+        # allowMissingColumns: pre-v2 generations lack min_tf/max_dl — they
+        # union in with nulls, are format-gated OUT of copy-through below,
+        # and the dirty decode path never reads those columns, so mixing
+        # format versions in one compaction is safe (grenad 0.5 reads 0.4
+        # chunks the same way, src/writer.rs:373-413)
+        seg_union = s if seg_union is None else seg_union.unionByName(s, allowMissingColumns=True)
         docs_union = d if docs_union is None else docs_union.unionByName(d)
 
     # authoritative deletions: docs present in some generation but absent
@@ -205,9 +210,12 @@ def compact_indexes(
             & (F.col("gen") == F.col("owner_gen"))
             & F.col("gen").isin(copy_gens)
         )
+        copied = marked.filter(copy_cond).select(*_SEGMENT_COLS)
     else:
         copy_cond = F.lit(False)
-    copied = marked.filter(copy_cond).select(*_SEGMENT_COLS)
+        # no copy-eligible generation: don't even reference the v2-only
+        # columns (an all-pre-v2 input has no min_tf/max_dl to select)
+        copied = None
     dirty = marked.filter(~F.coalesce(copy_cond, F.lit(False))).select(
         "term", "gen", "shard", "block_id", "n", "payload"
     )
@@ -233,7 +241,7 @@ def compact_indexes(
     )
     rebuilt = build_segments(tdt, doc_space, n_shards, partitions, payload_codec=out_codec)
 
-    segments = rebuilt.unionByName(copied)
+    segments = rebuilt.unionByName(copied) if copied is not None else rebuilt
     os.makedirs(out_dir, exist_ok=True)
     seg_path = os.path.join(out_dir, "segments")
     (

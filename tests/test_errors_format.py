@@ -104,3 +104,57 @@ def test_format_version_dispatch(tmp_path):
     _write_manifest(d9, 99)
     with pytest.raises(InvalidFormatVersion):
         IndexHandle(d9)
+
+
+def test_mixed_format_version_compaction_and_serving(spark, tmp_path):
+    """A pre-v2 generation (no min_tf/max_dl block columns) must compact
+    TOGETHER with v2 generations (decode path; format-gated out of
+    copy-through), and serving against it must fall back off the metadata
+    prune without wrong answers — grenad 0.5 reads 0.4 files the same way."""
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.query.search import search_topk, search_topk_fresh
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    g0, g1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), g0, n_shards=2)
+    build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), g1, n_shards=2)
+
+    # demote g0 to format v1: strip the v2 block columns + manifest version
+    seg = spark.read.parquet(os.path.join(g0, "segments")).drop("min_tf", "max_dl")
+    seg.write.mode("overwrite").parquet(str(tmp_path / "seg_v1"))
+    import shutil
+
+    shutil.rmtree(os.path.join(g0, "segments"))
+    shutil.move(str(tmp_path / "seg_v1"), os.path.join(g0, "segments"))
+    with open(os.path.join(g0, "manifest.json")) as fh:
+        m = json.load(fh)
+    m["format_version"] = 1
+    with open(os.path.join(g0, "manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    # serving the v1 index: wand_pruned must FALL BACK, not crash or mis-rank
+    h0 = IndexHandle(g0)
+    assert h0.format_version == 1
+    q = [(1, "alpha w1")]
+    a = sorted(map(tuple, search_topk(spark, h0, q, k=5, mode="exhaustive").collect()))
+    b = sorted(map(tuple, search_topk(spark, h0, q, k=5, mode="wand_pruned").collect()))
+    assert a == b and len(a) > 0
+
+    # mixed-version compaction == monolithic v2 build
+    comp = compact_indexes(spark, [g0, g1], str(tmp_path / "c"))
+    mono = build_index(spark, docs, str(tmp_path / "mono"), n_shards=2)
+    t_c = sorted(map(tuple, comp.term_dict(spark).select("term", "df", "cf").collect()))
+    t_m = sorted(map(tuple, mono.term_dict(spark).select("term", "df", "cf").collect()))
+    assert t_c == t_m
+    # compacted output is full v2 (serves the pruned path)
+    assert "min_tf" in comp.segments(spark).columns
+
+    # fresh search across mixed generations
+    fresh = search_topk_fresh(spark, [g0, g1], q, k=5)
+    merged = search_topk(spark, comp, q, k=5, mode="wand")
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, merged.collect()))
