@@ -116,6 +116,11 @@ def read_live_map(
     with open(os.path.join(live_dir, "stats.json")) as fh:
         stats = json.load(fh)
     names = [_gen_name(p) for p in index_paths]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"generation basenames must be unique (map keys): {names} — "
+            f"two generations from different parents share a name"
+        )
     if sorted(names) != stats["gen_names"]:
         raise ValueError(
             f"live map at {live_dir} covers generations {stats['gen_names']}, "

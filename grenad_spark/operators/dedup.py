@@ -499,11 +499,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         F.least(F.col("src"), F.col("m")).alias("comp"),
     )
     comp = comp.persist()
+
+    def _finish(c: DataFrame) -> DataFrame:
+        # materialize + truncate lineage (localCheckpoint), THEN release the
+        # iteration caches: without this every dup_clusters call leaks its
+        # final cached comp for the session lifetime, and the returned
+        # plan chains all rounds' joins
+        out = c.select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").cast("long").alias("cluster_id"),
+        ).localCheckpoint()
+        c.unpersist()
+        return out
+
     prev_sum = comp.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # no duplicate pairs at all
-        return comp.select(
-            F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("cluster_id")
-        )
+        return _finish(comp)
     for _ in range(max_iters):
         nbr = (
             edges.join(comp.withColumnRenamed("node", "dst"), "dst")
@@ -519,11 +530,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         comp.unpersist()
         comp = nxt
         if new_sum == prev_sum:
-            return comp.select(
-                F.col("node").alias("doc_id"),
-                F.col("comp").cast("long").alias("cluster_id"),
-            )
+            return _finish(comp)
         prev_sum = new_sum
+    comp.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iters} rounds — graph diameter "
         f"exceeds the near-dup assumption; use star-doubling for chain graphs"

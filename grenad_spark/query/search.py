@@ -398,8 +398,52 @@ def search_topk(
     return _search_from_pairs(spark, index, _tokenize_queries(queries), k, mode)
 
 
-def _group_params(spark: SparkSession, index: IndexHandle, n_queries: int) -> tuple[int, int]:
-    """(g, n_groups) for the scoring shuffle.
+def _range_survivors(
+    rterms: list[dict], theta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sur_starts, sur_ends): block-boundary-aligned doc ranges whose summed
+    covering-block upper bounds can reach θ − PRUNE_EPS. THE shared range
+    machinery of both pruning tiers (in-UDF phase 2 and the pass-1 metadata
+    pruner) — the off-by-one-prone searchsorted idioms the exactness proof
+    rests on live exactly once. Each rterm needs sorted doc-disjoint
+    (first, last, ub) arrays; sparse terms pass exact unit pseudo-blocks.
+
+    >= (not >) against θ − PRUNE_EPS: a pruned doc with UB == θ could
+    otherwise tie the kth ROUNDED score and deserve the slot by doc_id —
+    ties must stay exact (final ranking rounds to SCORE_DECIMALS)."""
+    bounds = np.unique(
+        np.concatenate([t["first"] for t in rterms] + [t["last"] + 1 for t in rterms])
+    )
+    if bounds.size < 2:  # unreachable for nonempty blocks (last+1 > first)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rstarts = bounds[:-1]
+    range_ub = np.zeros(rstarts.size)
+    for t in rterms:
+        # block covering each range start (blocks are doc-disjoint, sorted):
+        # idx of first block with last >= start
+        bi = np.searchsorted(t["last"], rstarts)
+        valid = bi < t["first"].size
+        bi_c = np.minimum(bi, t["first"].size - 1)
+        covers = valid & (t["first"][bi_c] <= rstarts)
+        range_ub[covers] += t["ub"][bi_c[covers]]
+    survive = range_ub >= theta - PRUNE_EPS
+    return rstarts[survive], bounds[1:][survive]
+
+
+def _overlap_mask(t: dict, sur_starts: np.ndarray, sur_ends: np.ndarray) -> np.ndarray:
+    """Per-block bool mask: does any surviving range overlap the block?"""
+    if sur_starts.size == 0:
+        return np.zeros(t["first"].size, dtype=bool)
+    i = np.searchsorted(sur_ends, t["first"], side="right")
+    return (i < sur_starts.size) & (
+        sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"]
+    )
+
+
+def _group_params(
+    spark: SparkSession, index: IndexHandle, n_queries: int
+) -> tuple[int, int, int]:
+    """(g, n_groups, n_qshards) for the scoring shuffle.
 
     QUERY-SIDE SHARD COALESCING: build-side shards are sized for skew-bounded
     encode groups (docs_per_shard), which can be far more groups than query
@@ -416,7 +460,7 @@ def _group_params(spark: SparkSession, index: IndexHandle, n_queries: int) -> tu
     n_groups = max(1, min(
         max(1, spark.sparkContext.defaultParallelism), n_queries * n_qshards
     ))
-    return g, n_groups
+    return g, n_groups, n_qshards
 
 
 def _rank_topk(per_shard: DataFrame, n_queries: int, kk: int) -> DataFrame:
@@ -462,7 +506,7 @@ def _search_from_pairs(
         raise ValueError(f"unknown mode {mode!r}")
 
     n_queries = len({q for q, _ in pairs})
-    g, n_groups = _group_params(spark, index, n_queries)
+    g, n_groups, _ = _group_params(spark, index, n_queries)
     per_shard = blocks.select(
         "query_id",
         (F.col("shard") / g).cast("int").alias("qshard"),
@@ -520,7 +564,7 @@ def _search_pruned(
     avgdl = float(index.avgdl)
     codec = index.payload_codec
     n_queries = len({q for q, _ in pairs})
-    g, n_groups = _group_params(spark, index, n_queries)
+    g, n_groups, _ = _group_params(spark, index, n_queries)
 
     # explicit broadcast: the survivor list is the small side BY DESIGN
     # (pruning selected it); relying on AQE instead costs stage
@@ -571,7 +615,7 @@ def survivor_blocks(
     back to pure metadata without it."""
     avgdl = float(index.avgdl)
     n_queries = len({q for q, _ in pairs})
-    g, n_groups = _group_params(spark, index, n_queries)
+    g, n_groups, n_qshards = _group_params(spark, index, n_queries)
     dfm = index.df_map(spark)
     sparse = {
         t for _, t in pairs if dfm is not None and dfm.get(t, 1 << 62) <= sparse_df_max
@@ -594,7 +638,6 @@ def survivor_blocks(
     # would pay ~batch_size× more pandas group overhead than compute —
     # measured 3× wall-clock on a 64-query batch. Metadata volume per qshard
     # group is (batch's query-term blocks)/n_qshards — small by construction.
-    n_qshards = -(-max(1, index.n_shards) // g)
     return (
         meta.select(
             "query_id",
@@ -777,36 +820,10 @@ def _prune_one_query(
     if theta < 0 or not terms:
         return emit([np.ones(t["shard"].size, dtype=bool) for t in terms])
 
-    rterms = terms + sparse_terms  # both contribute range mass
-    bounds = np.unique(
-        np.concatenate(
-            [t["first"] for t in rterms] + [t["last"] + 1 for t in rterms]
-        )
-    )
-    if bounds.size < 2:
-        return emit([np.ones(t["shard"].size, dtype=bool) for t in terms])
-    rstarts = bounds[:-1]
-    range_ub = np.zeros(rstarts.size)
-    for t in rterms:
-        bi = np.searchsorted(t["last"], rstarts)
-        valid = bi < t["first"].size
-        bi_c = np.minimum(bi, t["first"].size - 1)
-        covers = valid & (t["first"][bi_c] <= rstarts)
-        range_ub[covers] += t["ub"][bi_c[covers]]
-    survive = range_ub >= theta - PRUNE_EPS
-    sur_starts = rstarts[survive]
-    sur_ends = bounds[1:][survive]
-    masks = []
-    for t in terms:
-        if sur_starts.size == 0:
-            masks.append(np.zeros(t["first"].size, dtype=bool))
-            continue
-        i = np.searchsorted(sur_ends, t["first"], side="right")
-        masks.append(
-            (i < sur_starts.size)
-            & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
-        )
-    return emit(masks)
+    # both dense blocks and sparse pseudo-blocks contribute range mass;
+    # only dense blocks need the overlap mask (sparse always ship)
+    sur_starts, sur_ends = _range_survivors(terms + sparse_terms, theta)
+    return emit([_overlap_mask(t, sur_starts, sur_ends) for t in terms])
 
 
 
@@ -1233,31 +1250,9 @@ def _make_wand_batched(
             theta = -1.0
 
         # --- phase 2: range UBs on block-boundary-aligned doc ranges
-        bounds = np.unique(
-            np.concatenate(
-                [t["first"] for t in terms] + [t["last"] + 1 for t in terms]
-            )
-        )
-        n_ranges = bounds.size - 1
-        if n_ranges <= 0:
-            survive_ranges = np.zeros(0, dtype=bool)
-        else:
-            range_ub = np.zeros(n_ranges)
-            starts = bounds[:-1]
-            for t in terms:
-                # block covering each range start (blocks are doc-disjoint,
-                # sorted): idx of first block with last >= start
-                bi = np.searchsorted(t["last"], starts)
-                valid = (bi < len(t["payloads"]))
-                bi_c = np.minimum(bi, len(t["payloads"]) - 1)
-                covers = valid & (t["first"][bi_c] <= starts)
-                range_ub[covers] += t["ub"][bi_c[covers]]
-            # >= not >: a pruned doc with UB == θ could otherwise tie the kth
-            # score and deserve the slot by doc_id — ties must stay exact.
-            # The extra PRUNE_EPS slack covers ROUNDED ties: final ranking is
-            # on round(score, SCORE_DECIMALS), so a doc with raw score within
-            # 10^-SCORE_DECIMALS of θ can still round-tie the kth slot
-            survive_ranges = range_ub >= theta - PRUNE_EPS
+        # (shared machinery with the pass-1 metadata pruner — see
+        # _range_survivors for the θ-tie/PRUNE_EPS reasoning)
+        sur_starts, sur_ends = _range_survivors(terms, theta)
 
         # --- phase 3: decode surviving blocks, mask, score, top-k.
         # Scoring uses a DENSE scatter over the group's doc range (known
@@ -1266,17 +1261,9 @@ def _make_wand_batched(
         # sort, vs the O(n log n) np.unique merge. Guarded by a width cap so
         # a sparse group over a huge doc range falls back to the merge path.
         doc_parts, score_parts = [], []
-        sur_starts = bounds[:-1][survive_ranges]
-        sur_ends = bounds[1:][survive_ranges]
         for t in terms:
             # a block survives if any surviving range overlaps it
-            if sur_starts.size == 0:
-                continue
-            # for each block, does a surviving range start before block end
-            # and end after block start?
-            i = np.searchsorted(sur_ends, t["first"], side="right")
-            overlap = (i < sur_starts.size) & (sur_starts[np.minimum(i, sur_starts.size - 1)] <= t["last"])
-            bidx = np.flatnonzero(overlap)
+            bidx = np.flatnonzero(_overlap_mask(t, sur_starts, sur_ends))
             d, s = decode_term_blocks(t, bidx)
             if d.size == 0:
                 continue

@@ -59,21 +59,37 @@ def incremental_index_stream(
     def _refresh_live(spark_, new_gen: str | None) -> None:
         """Maintain the persisted live map (index/live.py) at delta-build
         time. Adding one generation folds it in incrementally (work ∝ delta
-        + map); any other shape (first batch, post-compaction) recomputes
-        from the current generation set. Swap is rename-based; a crash
-        window without a map is benign — search_topk_fresh falls back to the
-        inline derivation when live_dir is absent."""
-        from grenad_spark.index.live import update_live_map, write_live_map
-
+        + map) — but ONLY when the existing map's generation set matches the
+        on-disk one minus the new generation; any mismatch (first batch,
+        post-compaction, or a crash that left a stale map behind) recomputes
+        from the current generation set, so the map is SELF-HEALING rather
+        than perpetually stale. Swap is rename-based; a crash window without
+        a map is benign — search_topk_fresh falls back to the inline
+        derivation when live_dir is absent."""
+        import json as _json
         import shutil
 
+        from grenad_spark.index.live import update_live_map, write_live_map
+
+        gens_now = generation_paths(index_root)
+        incremental = False
+        if new_gen is not None and os.path.isdir(live_dir):
+            try:
+                with open(os.path.join(live_dir, "stats.json")) as fh:
+                    have = set(_json.load(fh)["gen_names"])
+                want_prev = {os.path.basename(g) for g in gens_now} - {
+                    os.path.basename(new_gen)
+                }
+                incremental = have == want_prev
+            except (OSError, KeyError, ValueError):
+                incremental = False  # unreadable map: recompute
         tmp = live_dir + "_next"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        if new_gen is not None and os.path.isdir(live_dir):
+        if incremental:
             update_live_map(spark_, live_dir, new_gen, tmp)
         else:
-            write_live_map(spark_, generation_paths(index_root), tmp)
+            write_live_map(spark_, gens_now, tmp)
         old = live_dir + "_old"
         if os.path.exists(old):
             shutil.rmtree(old)
@@ -90,8 +106,12 @@ def incremental_index_stream(
         build_index(
             batch_df.sparkSession, batch_df, out, n_shards=n_shards, overwrite=True
         )
-        _refresh_live(batch_df.sparkSession, out)
         gens = generation_paths(index_root)
+        if len(gens) < max_generations:
+            # not compacting this batch: fold the new generation in now.
+            # (When compacting, skip this — the map would be rewritten for
+            # the collapsed generation set seconds later anyway.)
+            _refresh_live(batch_df.sparkSession, out)
         if len(gens) >= max_generations:
             compacted_tmp = os.path.join(index_root, "_compacting")
             compact_indexes(batch_df.sparkSession, gens, compacted_tmp)

@@ -19,7 +19,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "wand_cursor", "shared"])
+    ap.add_argument(
+        "--mode",
+        default="wand",
+        choices=["wand", "wand_pruned", "exhaustive", "wand_cursor", "shared", "shared_pruned"],
+        help="wand_pruned = two-pass metadata prune (shuffle ∝ surviving "
+        "blocks — pick when the exchange is network-bound); shared[_pruned] "
+        "= decode-once-score-many batch",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -30,9 +37,13 @@ def main(argv: list[str] | None = None) -> None:
 
     idx = IndexHandle(args.index)
     queries = list(enumerate(args.query, start=1))
-    if args.mode == "shared":
+    if args.mode in ("shared", "shared_pruned"):
         # decode-once-score-many: best shape for multi-query batches
-        res = idx.search_batch(spark, queries, k=args.k)
+        from grenad_spark.query.search import search_topk_shared
+
+        res = search_topk_shared(
+            spark, idx, queries, k=args.k, prune=args.mode == "shared_pruned"
+        )
     else:
         res = search_topk(spark, idx, queries, k=args.k, mode=args.mode)
     for row in res.collect():
