@@ -178,7 +178,13 @@ def expand_fuzzy_queries(
     # banded-scan path rather than silently dropping valid matches
     gram_ok = max_edits == 1
     long_terms = sorted({(q, t) for q, t in qt if gram_ok and len(t) >= 4})
-    short_terms = sorted({(q, t) for q, t in qt if not (gram_ok and len(t) >= 4)})
+    # short terms at one edit: GENERATE-AND-TEST — the full 1-edit
+    # neighborhood over [a-z0-9] is ≤ ~37·(2l+1) strings (l ≤ 3), so it
+    # becomes an In(term, …) point-lookup pushed into the term_dict scan;
+    # no vocabulary scan of any kind. max_edits ≥ 2 keeps the banded scan
+    # (neighborhood size explodes quadratically; rare path, documented).
+    gen_terms = sorted({(q, t) for q, t in qt if gram_ok and len(t) < 4})
+    short_terms = sorted({(q, t) for q, t in qt if not gram_ok})
     vocab = index.term_dict(spark).select("term")
     pairs: set[tuple[int, str]] = set()
     band = (F.abs(F.length("term") - F.length("qterm")) <= max_edits) & (
@@ -206,6 +212,24 @@ def expand_fuzzy_queries(
             .collect()
         )
         pairs.update((r["query_id"], r["term"]) for r in matched)
+    if gen_terms:
+        cand_rows = [
+            (q, v) for q, t in gen_terms for v in _edit1_neighborhood(t)
+        ]
+        cdf = spark.createDataFrame(
+            sorted(set(cand_rows)), "query_id int, term string"
+        )
+        matched = (
+            # the explicit isin is what reaches the parquet scan as
+            # In(term, …)/InSet — the broadcast join alone would not push
+            # its keys into the scan
+            vocab.filter(F.col("term").isin(sorted({v for _, v in cand_rows})))
+            .join(F.broadcast(cdf), "term")
+            .select("query_id", "term")
+            .distinct()
+            .collect()
+        )
+        pairs.update((r["query_id"], r["term"]) for r in matched)
     if short_terms:
         qdf = spark.createDataFrame(short_terms, "query_id int, qterm string")
         matched = (
@@ -216,6 +240,26 @@ def expand_fuzzy_queries(
         )
         pairs.update((r["query_id"], r["term"]) for r in matched)
     return sorted(pairs)
+
+
+_EDIT_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _edit1_neighborhood(t: str) -> set[str]:
+    """All nonempty strings within Levenshtein distance ≤ 1 of t over the
+    tokenizer alphabet — |t|·37 + (|t|+1)·36 + 1 strings, driver-tiny for
+    the short terms this serves."""
+    out = {t}
+    for i in range(len(t)):
+        d = t[:i] + t[i + 1 :]
+        if d:
+            out.add(d)  # deletion
+        for c in _EDIT_ALPHABET:
+            out.add(t[:i] + c + t[i + 1 :])  # substitution
+    for i in range(len(t) + 1):
+        for c in _EDIT_ALPHABET:
+            out.add(t[:i] + c + t[i:])  # insertion
+    return out
 
 
 def search_topk_fuzzy(

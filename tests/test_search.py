@@ -262,3 +262,30 @@ def test_shared_batch_pruned_equals_exhaustive(spark, index_small):
     ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive"))
     sp = _norm(search_topk_shared(spark, index_small, REFERENCE_QUERIES, k=10, prune=True))
     assert sp == ex and len(ex) > 0
+
+
+def test_fuzzy_short_terms_generate_and_test(spark, index_small):
+    """Short query terms (<4 chars) at one edit expand by GENERATING the
+    full 1-edit neighborhood and point-looking it up — no vocabulary scan of
+    any kind. Must equal a brute levenshtein sweep of the dictionary."""
+    from grenad_spark.query.search import _edit1_neighborhood, expand_fuzzy_queries
+
+    # neighborhood basics
+    nb = _edit1_neighborhood("cat")
+    assert {"cat", "at", "ct", "ca", "bat", "cut", "car", "cats", "scat"} <= nb
+    assert "" not in nb and all(len(v) <= 4 for v in nb)
+
+    vocab = [r["term"] for r in index_small.term_dict(spark).select("term").collect()]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    for short in ("ke", "sor", "x"):
+        got = {t for _, t in expand_fuzzy_queries(spark, index_small, [(1, short)])}
+        want = {t for t in vocab if lev(short, t) <= 1}
+        assert got == want, (short, got, want)
