@@ -654,6 +654,14 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curate(_docs(spark, sf_dir))
 
 
+@register("curation_pipeline_clustered", curation.sql_curate(cluster_dedup=True))
+def q_curation_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with keep-one-per-CLUSTER near-dup removal (connected
+    components over the pair graph) — pair-local removal under-removes on
+    transitive chains; this is the production corpus-dedup semantics."""
+    return curation.curate(_docs(spark, sf_dir), cluster_dedup=True)
+
+
 @register("dedup_prefix_groups", dedup.sql_prefix_dedup(8))
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_dedup_groups(_docs(spark, sf_dir), 8)
