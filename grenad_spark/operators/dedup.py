@@ -498,19 +498,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         F.col("src").alias("node"),
         F.least(F.col("src"), F.col("m")).alias("comp"),
     )
-    comp = comp.persist()
+    # localCheckpoint EVERY round (eager): comp appears twice in each
+    # round's plan (as the label side and inside nbr), so without lineage
+    # truncation the logical plan DOUBLES per round — exponential, and the
+    # driver OOMs planning round ~10 on moderate-diameter graphs
+    # (Hypothesis-caught). Checkpointing keeps the plan constant-size and
+    # materializes each round exactly once; superseded rounds' blocks are
+    # reclaimed by the context cleaner once their Python references drop.
+    comp = comp.localCheckpoint()
 
     def _finish(c: DataFrame) -> DataFrame:
-        # materialize + truncate lineage (localCheckpoint), THEN release the
-        # iteration caches: without this every dup_clusters call leaks its
-        # final cached comp for the session lifetime, and the returned
-        # plan chains all rounds' joins
-        out = c.select(
+        return c.select(
             F.col("node").alias("doc_id"),
             F.col("comp").cast("long").alias("cluster_id"),
-        ).localCheckpoint()
-        c.unpersist()
-        return out
+        )
 
     prev_sum = comp.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # no duplicate pairs at all
@@ -522,17 +523,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("comp").alias("nc"))
             .withColumnRenamed("src", "node")
         )
-        nxt = comp.join(nbr, "node", "left").select(
+        comp = comp.join(nbr, "node", "left").select(
             "node",
             F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-        ).persist()
-        new_sum = nxt.agg(F.sum("comp")).first()[0]
-        comp.unpersist()
-        comp = nxt
+        ).localCheckpoint()
+        new_sum = comp.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
             return _finish(comp)
         prev_sum = new_sum
-    comp.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iters} rounds — graph diameter "
         f"exceeds the near-dup assumption; use star-doubling for chain graphs"

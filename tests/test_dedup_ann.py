@@ -205,3 +205,41 @@ def test_dup_clusters_empty_and_minhash_consistency(spark, docs_small):
     assert set(clusters.values()) <= members
     for d, c in clusters.items():
         assert c <= d  # label is the min member
+
+
+def test_dup_clusters_property_random_graphs(spark):
+    """dup_clusters vs a union-find oracle on random graphs — including
+    longer chains than near-dup data produces (the min-label loop must still
+    converge within its round budget on moderate diameters)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 90)
+        edges = sorted({(min(a, b), max(a, b)) for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ) if a != b})
+        if not edges:
+            continue
+        # union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {v for e in edges for v in e}
+        comp_min: dict[int, int] = {}
+        for v in nodes:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in nodes}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+        assert got == want, (trial, edges, got, want)
