@@ -19,7 +19,10 @@ def test_skewed_head_term_bounded_groups(spark, tmp_path):
     skewed = build_index(
         spark, docs, str(tmp_path / "skew"), docs_per_shard=100, overwrite=True
     )
-    assert skewed.n_shards == 6
+    # shard count = max(memory-bound ceil(600/100)=6, core-count floor):
+    # docs_per_shard is an UPPER bound on group size, the floor only splits
+    # further — assert the invariants, not a fixed count
+    assert skewed.n_shards >= 6
     seg = skewed.segments(spark)
     # no (term, shard) group exceeds docs_per_shard postings
     worst = (
@@ -27,7 +30,10 @@ def test_skewed_head_term_bounded_groups(spark, tmp_path):
     )
     assert worst <= 100
     # head term split across every shard
-    assert seg.filter(F.col("term") == "the").select("shard").distinct().count() == 6
+    assert (
+        seg.filter(F.col("term") == "the").select("shard").distinct().count()
+        == skewed.n_shards
+    )
 
     mono = build_index(spark, docs, str(tmp_path / "mono"), n_shards=1)
     queries = [(1, "the common"), (2, "rare gem"), (3, "word3 the")]
