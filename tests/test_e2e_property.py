@@ -42,11 +42,12 @@ def test_e2e_build_search_matches_python_oracle(spark, tmp_path_factory, rows, n
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = str(tmp_path_factory.mktemp("fz") / "idx")
     idx = build_index(spark, docs, out, n_shards=n_shards, block_size=block_size, overwrite=True)
-    got = sorted(
-        map(tuple, search_topk(spark, idx, _QUERIES, k=5, mode="wand").collect())
-    )
     want = python_bm25_oracle([{"doc_id": d, "text": t} for d, t in rows], _QUERIES, k=5)
-    assert got == want
+    for mode in ("wand", "wand_pruned"):
+        got = sorted(
+            map(tuple, search_topk(spark, idx, _QUERIES, k=5, mode=mode).collect())
+        )
+        assert got == want, mode
 
 
 @pytest.mark.slow
