@@ -668,6 +668,78 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus scrubbing: PII redaction + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+from grenad_spark.operators import scrub  # noqa: E402
+
+# deterministic synthetic PII appended per doc (the corpus itself has none,
+# so redaction must do real, checkable work)
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@example.com visit "
+    "https://eval.example/run?id=' || doc_id || ' call 55512340000'"
+)
+
+_REDACT_ORACLE = f"""
+WITH pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+red AS (SELECT doc_id, {scrub.sql_redact_expr('text')} AS rt FROM pii)
+SELECT doc_id, md5(rt) AS text_md5,
+       ((len(rt) - len(replace(rt, '<email>', ''))) / len('<email>')
+        + (len(rt) - len(replace(rt, '<url>', ''))) / len('<url>')
+        + (len(rt) - len(replace(rt, '<number>', ''))) / len('<number>'))::DOUBLE
+         AS n_redactions
+FROM red
+"""
+
+
+@register("text_redact_pii", _REDACT_ORACLE)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/URLs/long digit runs → typed placeholders) over
+    a corpus with deterministic synthetic PII — byte-exact redacted text
+    gated by md5, plus the per-doc redaction count."""
+    docs = _docs(spark, sf_dir)
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com visit https://eval.example/run?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" call 55512340000"),
+        ).alias("text"),
+    )
+    out = scrub.redact_pii(pii)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_redactions").cast("double").alias("n_redactions"),
+    )
+
+
+_DECONTAM_ORACLE = f"""
+WITH bsh AS (
+  SELECT DISTINCT shingle FROM (
+    {dedup.sql_shingles(5, "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)")}
+  )
+),
+csh AS ({dedup.sql_shingles(5)}),
+bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("decontaminate_docs", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 5-gram with the
+    (synthetic) eval set are excluded from training — the standard test-set
+    leakage guard. Eval shingles broadcast; the corpus side is one scan +
+    semi-join."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return scrub.decontaminate(docs, benchmark, n=5)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------
 
