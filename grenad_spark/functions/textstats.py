@@ -24,13 +24,37 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# BPE-ish piece shapes (letter runs / single digits / single punctuation —
+# the GPT-2 pattern family minus lookahead, so Java regex and RE2 agree);
+# counts pieces, approximating subword token counts for budget estimates
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+_WS_RE = r"\s+"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.size(tokens_col("text")).cast("int").alias("n_tokens"))
+    """(doc_id, n_tokens, n_ws_tokens, n_bpe_ish): the three counting schemes
+    a training-data budget uses — the engine tokenizer, raw whitespace
+    splitting, and a BPE-ish subword piece count. All pure column
+    expressions; the BPE-ish count is regexp_count over a pattern in the
+    Java-regex/RE2 common subset."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("int").alias("n_tokens"),
+        F.size(F.filter(F.split("text", _WS_RE), lambda t: t != ""))
+        .cast("int")
+        .alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).cast("int").alias("n_bpe_ish"),
+    )
 
 
 SQL_TOKEN_COUNT = (
-    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
-    f"'{TOKEN_SPLIT_RE}'), x -> x <> ''))::INT AS n_tokens FROM documents"
+    "SELECT doc_id, "
+    "len(list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_RE}'), x -> x <> ''))::INT AS n_tokens, "
+    r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT "
+    "AS n_ws_tokens, "
+    r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::INT "
+    "AS n_bpe_ish FROM documents"
 )
 
 
