@@ -62,13 +62,36 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _make_encode_stream(payload_codec: str = "none", block_size: int | None = None):
+# Live build progress — the Sorter::estimated_dumped_memory_usage analog
+# (reference src/sorter.rs:460-468: callers poll how much the sorter would
+# dump). Spark accumulators update as encode tasks COMPLETE, so a monitor
+# thread can poll LAST_BUILD_PROGRESS[...]​.value mid-build for dumped bytes/
+# postings so far. Standard accumulator caveat: task RETRIES double-count
+# (at-least-once), which is fine for a progress estimate; the manifest
+# records the authoritative totals recomputed from the written table.
+LAST_BUILD_PROGRESS: dict = {}
+
+
+def _make_encode_stream(
+    payload_codec: str = "none",
+    block_size: int | None = None,
+    acc_bytes=None,
+    acc_postings=None,
+):
     def fn(batches):
-        return _encode_partition_stream(batches, payload_codec, block_size)
+        return _encode_partition_stream(
+            batches, payload_codec, block_size, acc_bytes, acc_postings
+        )
     return fn
 
 
-def _encode_partition_stream(batches, payload_codec: str = "none", block_size: int | None = None) -> "pd.DataFrame":
+def _encode_partition_stream(
+    batches,
+    payload_codec: str = "none",
+    block_size: int | None = None,
+    acc_bytes=None,
+    acc_postings=None,
+) -> "pd.DataFrame":
     """Sorter::write_chunk analog, partition-at-a-time.
 
     Input: Arrow batches of one shuffle partition of the RAW token stream
@@ -128,6 +151,9 @@ def _encode_partition_stream(batches, payload_codec: str = "none", block_size: i
                     max_tf, min_dl, min_tf, max_dl, sum_tf, payload,
                 )
             )
+    if acc_bytes is not None and rows:
+        acc_bytes.add(sum(len(r[11]) for r in rows))
+        acc_postings.add(sum(r[3] for r in rows))
     yield pd.DataFrame(
         rows,
         columns=[
@@ -168,6 +194,7 @@ def build_segments(
     partitions: int | None = None,
     payload_codec: str = "none",
     block_size: int | None = None,
+    track_progress: bool = False,
 ) -> DataFrame:
     """(term, doc_id, dl) raw token stream -> segment block rows.
 
@@ -190,10 +217,20 @@ def build_segments(
     )
     if partitions is None:
         partitions = sharded.sparkSession.sparkContext.defaultParallelism
+    acc_b = acc_p = None
+    if track_progress:
+        sc = sharded.sparkSession.sparkContext
+        acc_b = sc.accumulator(0)
+        acc_p = sc.accumulator(0)
+        LAST_BUILD_PROGRESS["encoded_payload_bytes"] = acc_b
+        LAST_BUILD_PROGRESS["encoded_postings"] = acc_p
     return (
         sharded.repartition(partitions, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(_make_encode_stream(payload_codec, block_size), SEGMENT_SCHEMA)
+        .mapInPandas(
+            _make_encode_stream(payload_codec, block_size, acc_b, acc_p),
+            SEGMENT_SCHEMA,
+        )
     )
 
 
@@ -320,7 +357,10 @@ def _build_index_inner(
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
         ts = time.time()
-        segments = build_segments(tokens_with_dl(docs), doc_space, n_shards, partitions, payload_codec, block_size)
+        segments = build_segments(
+            tokens_with_dl(docs), doc_space, n_shards, partitions,
+            payload_codec, block_size, track_progress=True,
+        )
         # Materialize block rows before the range write: repartitionByRange
         # SAMPLES its child to pick boundaries, which would re-run the whole
         # tokenize→shuffle→encode pipeline a second time. Block rows are
@@ -376,6 +416,14 @@ def _build_index_inner(
             for f in sorted(os.listdir(seg_path))
             if f.endswith(".parquet")
         ]
+        # authoritative dumped-bytes/postings totals (the live accumulators
+        # in LAST_BUILD_PROGRESS show the same numbers mid-build; a resumed
+        # build's accumulators would be partial, so the manifest recomputes
+        # from the written table — one column-pruned agg)
+        enc = segments.agg(
+            F.sum("n").cast("long").alias("p"),
+            F.sum(F.length("payload")).cast("long").alias("b"),
+        ).first()
         manifest = {
             "format_version": CURRENT_FORMAT_VERSION,
             "built_at_unix": int(t0),
@@ -390,6 +438,8 @@ def _build_index_inner(
             "partitions": partitions,
             "stage_seconds": {k: round(v, 3) for k, v in stage_secs.items()},
             "build_seconds": round(time.time() - t0, 3),
+            "encoded_postings": int(enc["p"] or 0),
+            "encoded_payload_bytes": int(enc["b"] or 0),
             "segment_files": files,
         }
         with open(manifest_path, "w") as fh:

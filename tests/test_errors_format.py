@@ -158,3 +158,27 @@ def test_mixed_format_version_compaction_and_serving(spark, tmp_path):
     fresh = search_topk_fresh(spark, [g0, g1], q, k=5)
     merged = search_topk(spark, comp, q, k=5, mode="wand")
     assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_build_progress_live_estimate(spark, tmp_path):
+    """Sorter::estimated_dumped_memory_usage analog (src/sorter.rs:460-468):
+    the live accumulators a monitor polls mid-build must land exactly on the
+    manifest's authoritative totals, which must equal the written table."""
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import LAST_BUILD_PROGRESS, build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma") for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, str(tmp_path / "prog"), n_shards=2)
+    acc_b = LAST_BUILD_PROGRESS["encoded_payload_bytes"].value
+    acc_p = LAST_BUILD_PROGRESS["encoded_postings"].value
+    assert acc_b > 0 and acc_p > 0
+    assert idx.manifest["encoded_payload_bytes"] == acc_b
+    assert idx.manifest["encoded_postings"] == acc_p
+    seg = idx.segments(spark).agg(
+        F.sum("n").alias("p"), F.sum(F.length("payload")).alias("b")
+    ).first()
+    assert (int(seg["p"]), int(seg["b"])) == (acc_p, acc_b)
