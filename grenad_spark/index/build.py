@@ -556,6 +556,14 @@ class IndexHandle:
 
         return search_topk_shared(spark, self, queries, k=k)
 
+    def search_auto(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Gate-per-batch serving: measures the pass-1 survivor ratio and
+        picks two-pass pruned vs single-pass WAND (query/search.py
+        search_topk_auto)."""
+        from grenad_spark.query.search import search_topk_auto
+
+        return search_topk_auto(spark, self, queries, k=k)
+
     def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = 128) -> DataFrame:
         """Prefix search; max_expansions caps each prefix to its top-df
         expansions (Meilisearch-style serving default; None = exhaustive)."""

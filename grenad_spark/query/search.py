@@ -576,6 +576,7 @@ def _search_pruned(
     index: IndexHandle,
     pairs: list[tuple[int, str]],
     k: int = 10,
+    survivors: DataFrame | None = None,
 ) -> DataFrame:
     """TWO-PASS serving: prune blocks from METADATA before any payload
     crosses the shuffle (the top r2 scale item — BASELINE.md measured that
@@ -614,8 +615,11 @@ def _search_pruned(
     # (pruning selected it); relying on AQE instead costs stage
     # materialization barriers (~0.5 s/batch measured). When a corpus/query
     # mix prunes nothing, survivors ≈ all query-term blocks and callers
-    # should serve with mode='wand' instead (documented contract).
-    survivors = F.broadcast(survivor_blocks(spark, index, pairs, kk))
+    # should serve with mode='wand' instead — or use search_topk_auto,
+    # which measures the survivor ratio per batch and picks.
+    if survivors is None:
+        survivors = survivor_blocks(spark, index, pairs, kk)
+    survivors = F.broadcast(survivors)
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
     per_shard = pruned.select(
@@ -695,6 +699,38 @@ def survivor_blocks(
             _make_meta_prune(avgdl, int(k), index.payload_codec), _SURVIVOR_SCHEMA
         )
     )
+
+
+def search_topk_auto(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    prune_ratio_max: float = 0.5,
+) -> DataFrame:
+    """Serving entry that PICKS the plan per batch instead of asking the
+    caller to know their corpus: run pass 1 (metadata-sized), measure
+    |survivors| / |query-term blocks|, then either finish the two-pass plan
+    with the already-computed survivor set (pruning bit — shuffle ∝
+    survivors) or fall back to single-pass WAND (it didn't — a second
+    metadata pass would only add cost). The gate costs two metadata-sized
+    aggregates; pass 1's work is REUSED by pass 2 via persist, never run
+    twice. Pre-v2 indexes serve single-pass directly."""
+    pairs = _tokenize_queries(queries)
+    if "min_tf" not in index.segments(spark).columns:
+        return _search_from_pairs(spark, index, pairs, k, "wand")
+    # localCheckpoint (eager): materializes the survivor set once for BOTH
+    # the gate count and pass 2, with no cache registration to leak — the
+    # blocks reclaim when the reference drops
+    surv = survivor_blocks(spark, index, pairs, int(k)).localCheckpoint()
+    n_surv = surv.count()
+    meta, _ = _query_blocks_from_pairs(
+        spark, index, pairs, columns=["term", "shard", "block_id"]
+    )
+    total = meta.count()
+    if total > 0 and n_surv <= prune_ratio_max * total:
+        return _search_pruned(spark, index, pairs, k, survivors=surv)
+    return _search_from_pairs(spark, index, pairs, k, "wand")
 
 
 def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):

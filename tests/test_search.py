@@ -289,3 +289,17 @@ def test_fuzzy_short_terms_generate_and_test(spark, index_small):
         got = {t for _, t in expand_fuzzy_queries(spark, index_small, [(1, short)])}
         want = {t for t in vocab if lev(short, t) <= 1}
         assert got == want, (short, got, want)
+
+
+def test_search_topk_auto_matches_exhaustive(spark, index_small):
+    """The auto-gated serving entry (measure pass-1 survivor ratio, pick
+    two-pass or single-pass per batch) must be result-identical either way,
+    at both gate extremes (always-prune, never-prune)."""
+    from grenad_spark.query.search import search_topk_auto
+
+    ex = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="exhaustive"))
+    for ratio in (1.1, 0.0):  # >1: pruned branch always; 0: wand fallback always
+        got = _norm(
+            search_topk_auto(spark, index_small, REFERENCE_QUERIES, k=10, prune_ratio_max=ratio)
+        )
+        assert got == ex and len(got) > 0, ratio
