@@ -26,9 +26,13 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 # BPE-ish piece shapes (letter runs / single digits / single punctuation —
 # the GPT-2 pattern family minus lookahead, so Java regex and RE2 agree);
-# counts pieces, approximating subword token counts for budget estimates
-BPE_ISH_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
-_WS_RE = r"\s+"
+# counts pieces, approximating subword token counts for budget estimates.
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0B
+# (vertical tab) while RE2's does not — the one place the engines' \s
+# definitions diverge, which would hash-mismatch on \x0B-bearing text
+_WS_CLASS = r" \t\n\r\x0b\f"
+BPE_ISH_RE = rf"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9{_WS_CLASS}]"
+_WS_RE = rf"[{_WS_CLASS}]+"
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -51,9 +55,9 @@ SQL_TOKEN_COUNT = (
     "SELECT doc_id, "
     "len(list_filter(regexp_split_to_array(lower(text), "
     f"'{TOKEN_SPLIT_RE}'), x -> x <> ''))::INT AS n_tokens, "
-    r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT "
+    f"len(list_filter(regexp_split_to_array(text, '{_WS_RE}'), x -> x <> ''))::INT "
     "AS n_ws_tokens, "
-    r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::INT "
+    f"len(regexp_extract_all(text, '{BPE_ISH_RE}'))::INT "
     "AS n_bpe_ish FROM documents"
 )
 

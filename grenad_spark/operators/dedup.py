@@ -106,18 +106,20 @@ GROUP BY 1 HAVING count(*) > 1
 # shingles + n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def shingles(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, entirely JVM-side."""
+def shingles(docs: DataFrame, n: int = NGRAM_N, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-grams, entirely JVM-side. distinct=True (the
+    Jaccard/MinHash contract) costs a corpus-wide aggregate; pass False when
+    duplicates are harmless (e.g. the probe side of a semi-join) — the
+    explode is then a narrow map with NO shuffle."""
     toks = tokens_col("text")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    out = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def sql_shingles(n: int = NGRAM_N, table: str = "documents") -> str:
@@ -498,14 +500,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         F.col("src").alias("node"),
         F.least(F.col("src"), F.col("m")).alias("comp"),
     )
-    # localCheckpoint EVERY round (eager): comp appears twice in each
-    # round's plan (as the label side and inside nbr), so without lineage
-    # truncation the logical plan DOUBLES per round — exponential, and the
-    # driver OOMs planning round ~10 on moderate-diameter graphs
-    # (Hypothesis-caught). Checkpointing keeps the plan constant-size and
-    # materializes each round exactly once; superseded rounds' blocks are
-    # reclaimed by the context cleaner once their Python references drop.
-    comp = comp.localCheckpoint()
+    # Checkpoint EVERY round: comp appears twice in each round's plan (as
+    # the label side and inside nbr), so without lineage truncation the
+    # logical plan DOUBLES per round — exponential, and the driver OOMs
+    # planning round ~10 on moderate-diameter graphs (Hypothesis-caught).
+    # RELIABLE checkpoint (survives executor loss) when the session has a
+    # checkpoint dir configured — the right setting on a cluster with
+    # dynamic allocation / spot nodes; localCheckpoint otherwise (single
+    # local JVM: executor loss == job loss anyway, and it avoids requiring
+    # a checkpoint dir for local runs).
+    sc = pairs.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    _ckpt = (lambda df: df.checkpoint()) if reliable else (lambda df: df.localCheckpoint())
+    comp = _ckpt(comp)
 
     def _finish(c: DataFrame) -> DataFrame:
         return c.select(
@@ -523,10 +533,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("comp").alias("nc"))
             .withColumnRenamed("src", "node")
         )
-        comp = comp.join(nbr, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-        ).localCheckpoint()
+        comp = _ckpt(
+            comp.join(nbr, "node", "left").select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+            )
+        )
         new_sum = comp.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
             return _finish(comp)

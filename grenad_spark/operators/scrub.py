@@ -92,7 +92,12 @@ def decontaminate(
     docs flag via one semi-join on the shingle key. benchmark needs
     (doc_id, text) like any docs table."""
     bench_sh = shingles(benchmark, n).select("shingle").distinct()
-    corpus_sh = shingles(corpus, n)
+    # corpus side stays NON-distinct: duplicate (doc_id, shingle) rows are
+    # harmless to the semi-join, and a distinct here would be a corpus-wide
+    # aggregate BEFORE any benchmark filtering — the exact shuffle this
+    # operator's scale contract forbids. The explode+broadcast-join is a
+    # narrow map over the scan; only matched doc_ids aggregate.
+    corpus_sh = shingles(corpus, n, distinct=False)
     contaminated = corpus_sh.join(F.broadcast(bench_sh), "shingle").select(
         "doc_id"
     ).distinct()

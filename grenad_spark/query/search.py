@@ -713,21 +713,25 @@ def search_topk_auto(
     |survivors| / |query-term blocks|, then either finish the two-pass plan
     with the already-computed survivor set (pruning bit — shuffle ∝
     survivors) or fall back to single-pass WAND (it didn't — a second
-    metadata pass would only add cost). The gate costs two metadata-sized
-    aggregates; pass 1's work is REUSED by pass 2 via persist, never run
-    twice. Pre-v2 indexes serve single-pass directly."""
+    metadata pass would only add cost). Pass-1 work is REUSED by pass 2 via
+    an eager localCheckpoint (one materialization, nothing left cached);
+    the denominator comes from term_dict's per-term n_blocks — a
+    vocabulary-pruned lookup of |query terms| rows, not a metadata rescan.
+    Pre-v2 indexes serve single-pass directly."""
     pairs = _tokenize_queries(queries)
     if "min_tf" not in index.segments(spark).columns:
         return _search_from_pairs(spark, index, pairs, k, "wand")
-    # localCheckpoint (eager): materializes the survivor set once for BOTH
-    # the gate count and pass 2, with no cache registration to leak — the
-    # blocks reclaim when the reference drops
     surv = survivor_blocks(spark, index, pairs, int(k)).localCheckpoint()
     n_surv = surv.count()
-    meta, _ = _query_blocks_from_pairs(
-        spark, index, pairs, columns=["term", "shard", "block_id"]
-    )
-    total = meta.count()
+    terms = sorted({t for _, t in pairs})
+    nb = {
+        r["term"]: int(r["n_blocks"])
+        for r in index.term_dict(spark)
+        .filter(F.col("term").isin(terms))
+        .select("term", "n_blocks")
+        .collect()
+    }
+    total = sum(nb.get(t, 0) for _, t in pairs)
     if total > 0 and n_surv <= prune_ratio_max * total:
         return _search_pruned(spark, index, pairs, k, survivors=surv)
     return _search_from_pairs(spark, index, pairs, k, "wand")
