@@ -303,6 +303,13 @@ def _build_index_inner(
     stats_path = os.path.join(out_dir, "corpus_stats")
     docs_path = os.path.join(out_dir, "docs")
     manifest_path = os.path.join(out_dir, "manifest.json")
+    # fully-built index: the manifest is the LAST artifact written, so its
+    # presence (plus every stage's _SUCCESS) means resume has nothing to do —
+    # return the handle without launching a single Spark job
+    if os.path.exists(manifest_path) and all(
+        _done(p) for p in (docs_path, stats_path, seg_path, dict_path)
+    ):
+        return IndexHandle(out_dir)
     partitions = partitions or spark.sparkContext.defaultParallelism
     docs = docs.select("doc_id", "text")
     # Pre-shuffle parallelism guard: a narrow input (single parquet file,
@@ -391,11 +398,6 @@ def _build_index_inner(
             max(1, partitions // 8), "term"
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(dict_path)
         stage_secs["term_dict"] = time.time() - ts
-    # vocabulary size for the manifest: parquet row-count from file footers
-    # (metadata-only job) — lets df_map() gate on the manifest with no count
-    # job per handle
-    n_terms = spark.read.parquet(dict_path).count()
-
     # stage 3b: persisted typo index — (gram, term) vocabulary bigrams, the
     # table Meilisearch precomputes for typo tolerance. Built ONCE here so
     # fuzzy expansion is a pruned scan + join instead of re-exploding the
@@ -408,9 +410,28 @@ def _build_index_inner(
         write_term_bigrams(spark, dict_path, bigrams_path, max(1, partitions // 8))
         stage_secs["term_bigrams"] = time.time() - ts
 
+    # stage 3c: SymSpell-style deletion-variant table — (delvar, term) for
+    # every variant reachable by deleting ≤ MAX_DELETES chars. Serves
+    # max_edits=2 fuzzy expansion WITHOUT any vocabulary scan: if
+    # lev(q, t) ≤ d then deleting ≤ d chars from each reaches a common
+    # string (each edit contributes at most one deletion per side), so
+    # candidates = delvar-equi-join of the two sides' deletion neighborhoods,
+    # then an exact levenshtein filter. The query side's neighborhood is
+    # driver-tiny; this table is the vocabulary side, precomputed once.
+    deletes_path = os.path.join(out_dir, "term_deletes")
+    if not _done(deletes_path):
+        ts = time.time()
+        write_term_deletes(spark, dict_path, deletes_path, max(1, partitions // 8))
+        stage_secs["term_deletes"] = time.time() - ts
+
     # stage 4: manifest — per-file lineage + metrics (north_rule); the
     # grenad metadata footer (src/metadata.rs:105-115) of this index.
     if not os.path.exists(manifest_path):
+        # vocabulary size: parquet row-count from file footers (metadata-only
+        # job) — lets df_map() gate on the manifest with no count job per
+        # handle. UNDER the manifest guard so a resumed/no-op build launches
+        # zero Spark jobs.
+        n_terms = spark.read.parquet(dict_path).count()
         files = [
             {"file": f, "bytes": os.path.getsize(os.path.join(seg_path, f))}
             for f in sorted(os.listdir(seg_path))
@@ -445,6 +466,60 @@ def _build_index_inner(
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)
     return IndexHandle(out_dir)
+
+
+# deletion-variant depth of the persisted SymSpell table (supports fuzzy
+# expansion up to max_edits == MAX_DELETES without a vocabulary scan)
+MAX_DELETES = 2
+
+
+def write_term_deletes(
+    spark: SparkSession, dict_path: str, out_path: str, partitions: int
+) -> None:
+    """(delvar, term) SymSpell deletion table from a persisted term_dict:
+    every string reachable from a vocabulary term by deleting ≤ MAX_DELETES
+    characters (including the term itself at 0 deletions). 100% JVM-side —
+    two explode+substring passes, no Python. ~1 + L + L(L-1)/2 rows per
+    term of length L (≈40 rows at L=8). Range-partitioned on delvar so the
+    query side's delvar IN (…) prunes files (the same layout contract as
+    term_bigrams)."""
+    t0 = spark.read.parquet(dict_path).select("term")
+    # one deletion: position i ∈ [1, L] (SQL substring is 1-based)
+    d1 = t0.select(
+        "term",
+        F.explode(F.sequence(F.lit(1), F.length("term"))).alias("i"),
+    ).select(
+        "term",
+        F.concat(
+            F.expr("substring(term, 1, i - 1)"), F.expr("substring(term, i + 1)")
+        ).alias("d1"),
+    )
+    # two deletions: delete again from each 1-deletion variant
+    d2 = (
+        d1.filter(F.length("d1") > 0)
+        .select(
+            "term", "d1",
+            F.explode(F.sequence(F.lit(1), F.length("d1"))).alias("j"),
+        )
+        .select(
+            "term",
+            F.concat(
+                F.expr("substring(d1, 1, j - 1)"), F.expr("substring(d1, j + 1)")
+            ).alias("delvar"),
+        )
+    )
+    all_vars = (
+        t0.select("term", F.col("term").alias("delvar"))
+        .unionByName(d1.select("term", F.col("d1").alias("delvar")))
+        .unionByName(d2)
+        .distinct()
+    )
+    (
+        all_vars.repartitionByRange(partitions, "delvar")
+        .sortWithinPartitions("delvar", "term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
 
 
 def write_term_bigrams(
@@ -538,6 +613,16 @@ class IndexHandle:
             .distinct()
         )
 
+    def term_deletes(self, spark: SparkSession) -> DataFrame | None:
+        """(delvar, term) persisted SymSpell deletion table (max_edits=2
+        expansion via delvar equi-join — no vocabulary scan). Returns None
+        for indexes built before this table existed; callers fall back to
+        the length-banded vocabulary scan (correct, a bounded slice)."""
+        p = os.path.join(self.path, "term_deletes")
+        if _done(p):
+            return self._table(spark, "term_deletes")
+        return None
+
     # ---- user-facing search API (what a reference user calls after the
     # switch; thin delegates to query/search.py so the handle is the one
     # object to hold) ------------------------------------------------------
@@ -545,7 +630,10 @@ class IndexHandle:
     def search(self, spark: SparkSession, queries, k: int = 10, mode: str = "wand") -> DataFrame:
         """Top-k BM25. mode: 'wand' (single-pass serving) | 'wand_pruned'
         (two-pass metadata prune — shuffle ∝ surviving blocks; best when
-        pruning bites, e.g. zipfian corpora) | 'exhaustive' | 'wand_cursor'."""
+        pruning bites, e.g. zipfian corpora) | 'exhaustive' | 'wand_cursor'
+        (algorithm-faithful reference/test variant; per-pivot Python, so
+        groups beyond WAND_CURSOR_MAX_POSTINGS delegate to the batched
+        kernel — don't pick it for serving)."""
         from grenad_spark.query.search import search_topk
 
         return search_topk(spark, self, queries, k=k, mode=mode)
@@ -564,9 +652,13 @@ class IndexHandle:
 
         return search_topk_auto(spark, self, queries, k=k)
 
-    def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = 128) -> DataFrame:
-        """Prefix search; max_expansions caps each prefix to its top-df
-        expansions (Meilisearch-style serving default; None = exhaustive)."""
+    def search_prefix(self, spark: SparkSession, queries, k: int = 10, max_expansions: int | None = None) -> DataFrame:
+        """Prefix search. Default None = exhaustive expansion (exact — the
+        original public-handle behavior; existing callers keep identical
+        top-k). Serving tiers facing web vocabularies should pass an explicit
+        cap (e.g. query/search.py DEFAULT_MAX_EXPANSIONS=128, the
+        Meilisearch-style top-df cap) — a 1-char prefix can expand to
+        millions of terms otherwise."""
         from grenad_spark.query.search import search_topk_prefix
 
         return search_topk_prefix(spark, self, queries, k=k, max_expansions=max_expansions)

@@ -14,10 +14,13 @@ Dataflow (all shuffles bounded):
     → shard ownership map                      [per OUTPUT shard: which gens
                                                 have docs there + deletions]
     → split segment rows:
-      COPY-THROUGH: blocks in shards owned by exactly ONE generation, with no
-        deleted docs, from a generation whose shard geometry and codec match
-        the output — pass through byte-identical, never decoded (grenad's
-        streamed untouched run)
+      COPY-THROUGH: blocks in output shards owned by exactly ONE generation,
+        with no deleted docs, from a generation whose shard geometry matches
+        the output (same n_shards) OR is an integer multiple of it (m:1
+        coarsening — shard' = shard DIV m is exact, block ids renumber from
+        a metadata-only running sum) and whose codec matches — pass through
+        byte-identical payloads, never decoded (grenad's streamed untouched
+        run)
       DIRTY: everything else →
         mapInPandas vectorized decode          [per-GEN codec — generations
                                                 may use different payload
@@ -115,12 +118,17 @@ def compact_indexes(
     partitions: int | None = None,
     docs: DataFrame | None = None,
     payload_codec: str | None = None,
+    n_shards: int | None = None,
 ) -> IndexHandle:
     """Merge N generation indexes (oldest→newest, newest-wins per doc).
 
     docs, if given, is the authoritative live-doc set: any doc_id absent from
     it is deleted from the compacted index. payload_codec defaults to the
-    newest generation's codec.
+    newest generation's codec. n_shards sets the OUTPUT shard geometry
+    (default: the max over generations); a generation whose shard count is an
+    integer MULTIPLE of the output's is still copy-eligible — its blocks
+    renumber arithmetically (geometry-aware copy-through, below) instead of
+    taking the decode path.
     """
     if not 1 <= len(index_paths) <= MAX_GENERATIONS:
         raise MergeError(
@@ -132,7 +140,8 @@ def compact_indexes(
     out_codec = payload_codec if payload_codec is not None else codecs[-1]
     partitions = partitions or spark.sparkContext.defaultParallelism
     doc_space = max(h.manifest["max_doc"] for h in handles) + 1
-    n_shards = max(h.n_shards for h in handles)
+    if n_shards is None:
+        n_shards = max(h.n_shards for h in handles)
 
     def shard_of(col: str):
         # same integer floor division as build_segments — boundaries must agree
@@ -141,10 +150,33 @@ def compact_indexes(
             f"CAST({int(doc_space)} AS BIGINT) AS INT)"
         )
 
+    # GEOMETRY-AWARE shard mapping: generation i's shard function is
+    # doc*(m·n_shards) DIV doc_space when its shard count is m·n_shards over
+    # the same doc space, and floor(floor(x/a)/b) == floor(x/(ab)) makes
+    # out_shard = gen_shard DIV m EXACT — gen shards merge m:1 into output
+    # shards with doc ranges still disjoint and ascending. m == 1 is the
+    # verbatim case; m is None (not an integer multiple / different doc
+    # space) → no algebraic mapping → the decode path.
+    merge_factor = {
+        i: h.n_shards // n_shards
+        for i, h in enumerate(handles)
+        if h.manifest["max_doc"] + 1 == doc_space and h.n_shards % n_shards == 0
+    }
+
     seg_union = None
     docs_union = None
     for i, h in enumerate(handles):
-        s = h.segments(spark).withColumn("gen", F.lit(i))
+        m = merge_factor.get(i)
+        out_shard = (
+            F.expr(f"CAST(shard DIV {int(m)} AS INT)")
+            if m
+            else F.lit(None).cast("int")
+        )
+        s = (
+            h.segments(spark)
+            .withColumn("gen", F.lit(i))
+            .withColumn("out_shard", out_shard)
+        )
         d = h.docs(spark).withColumn("gen", F.lit(i))
         # allowMissingColumns: pre-v2 generations lack min_tf/max_dl — they
         # union in with nulls, are format-gated OUT of copy-through below,
@@ -177,40 +209,83 @@ def compact_indexes(
     )
 
     # ---- copy-through split -------------------------------------------------
-    # A generation is copy-eligible only if its shard function equals the
-    # output's (same n_shards AND doc space — shard/block ids then carry over
-    # verbatim) and its payload codec matches the output codec.
+    # A generation is copy-eligible if its shard function maps algebraically
+    # onto the output's (merge_factor above: same geometry at m == 1, m:1
+    # coarsening otherwise) and its payload codec matches the output codec.
     copy_gens = [
         i
         for i, h in enumerate(handles)
-        if h.n_shards == n_shards
-        and h.manifest["max_doc"] + 1 == doc_space
+        if i in merge_factor
         and codecs[i] == out_codec
         # pre-v2 segments lack the min_tf/max_dl lower-bound columns — they
         # must take the decode path so the compacted output is uniformly v2
         and h.format_version >= 2
     ]
-    # shard ownership over ALL generations' membership tables: an output
-    # shard is exclusive iff exactly one generation has docs in it
+    # shard ownership over ALL generations' membership tables, in OUTPUT
+    # shard space: an output shard is exclusive iff exactly one generation
+    # has docs in it
     owners = (
-        docs_union.select(shard_of("doc_id").alias("shard"), "gen")
+        docs_union.select(shard_of("doc_id").alias("out_shard"), "gen")
         .distinct()
-        .groupBy("shard")
+        .groupBy("out_shard")
         .agg(F.count("*").alias("n_gens"), F.min("gen").alias("owner_gen"))
         .filter(F.col("n_gens") == 1)
-        .select("shard", "owner_gen")
+        .select("out_shard", "owner_gen")
     )
     if deleted_shards is not None:
-        owners = owners.join(deleted_shards, "shard", "left_anti")
+        owners = owners.join(
+            deleted_shards.withColumnRenamed("shard", "out_shard"),
+            "out_shard",
+            "left_anti",
+        )
 
-    marked = seg_union.join(F.broadcast(owners), "shard", "left")
+    marked = seg_union.join(F.broadcast(owners), "out_shard", "left")
+    same_geom = [i for i in copy_gens if merge_factor[i] == 1]
+    multi_geom = [i for i in copy_gens if merge_factor[i] > 1]
     if copy_gens:
         copy_cond = (
             F.col("owner_gen").isNotNull()
             & (F.col("gen") == F.col("owner_gen"))
             & F.col("gen").isin(copy_gens)
         )
-        copied = marked.filter(copy_cond).select(*_SEGMENT_COLS)
+        parts = []
+        if same_geom:
+            parts.append(
+                marked.filter(copy_cond & F.col("gen").isin(same_geom)).select(
+                    *_SEGMENT_COLS
+                )
+            )
+        if multi_geom:
+            # GEOMETRY-AWARE RENUMBER (the m > 1 case): gen shards m·k …
+            # m·k+m−1 merge into output shard k with doc ranges disjoint and
+            # ascending, so the only work is block-ID arithmetic —
+            # block_id' = block_id + Σ n_blocks(term, earlier sibling shard).
+            # Offsets come from a METADATA-only aggregate (count per
+            # (gen, term, shard) + a running sum over the tiny counts table);
+            # payloads are never decoded and never re-encoded. The offset
+            # join is hinted broadcast: the counts table is
+            # vocabulary × shards rows of three ints.
+            from pyspark.sql.window import Window
+
+            cm = marked.filter(copy_cond & F.col("gen").isin(multi_geom))
+            cnt = cm.groupBy("gen", "term", "out_shard", "shard").agg(
+                F.count("*").alias("nb")
+            )
+            w = Window.partitionBy("gen", "term", "out_shard").orderBy("shard")
+            off = cnt.select(
+                "gen", "term", "shard",
+                (F.sum("nb").over(w) - F.col("nb")).cast("int").alias("off"),
+            )
+            renum = cm.join(F.broadcast(off), ["gen", "term", "shard"]).select(
+                "term",
+                F.col("out_shard").alias("shard"),
+                (F.col("block_id") + F.col("off")).cast("int").alias("block_id"),
+                *[c for c in _SEGMENT_COLS if c not in ("term", "shard", "block_id")],
+            ).select(*_SEGMENT_COLS)
+            parts.append(renum)
+        copied = parts[0]
+        for p in parts[1:]:
+            copied = copied.unionByName(p)
     else:
         copy_cond = F.lit(False)
         # no copy-eligible generation: don't even reference the v2-only
@@ -230,18 +305,24 @@ def compact_indexes(
     copied_blocks = counts.get(True, 0)
     dirty_blocks = counts.get(False, 0)
 
-    # ---- dirty path: decode (per-gen codec) → tombstone filter → re-encode --
-    decoded = dirty.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
-    # doc-keyed equi-join; AQE picks broadcast when the live map is small —
-    # at web scale both sides shuffle-partition on doc_id (co-partitionable)
-    tdt = (
-        decoded.join(live, "doc_id")
-        .filter(F.col("gen") == F.col("live_gen"))
-        .select("term", "doc_id", "tf", "dl")
-    )
-    rebuilt = build_segments(tdt, doc_space, n_shards, partitions, payload_codec=out_codec)
+    if dirty_blocks == 0 and copied is not None:
+        # nothing to decode: the whole compaction is copy-through/renumber —
+        # don't even schedule the decode UDF subplan (a 2×-reshard of a
+        # clean index is pure metadata work end to end)
+        segments = copied
+    else:
+        # ---- dirty path: decode (per-gen codec) → tombstone filter → re-encode
+        decoded = dirty.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
+        # doc-keyed equi-join; AQE picks broadcast when the live map is small —
+        # at web scale both sides shuffle-partition on doc_id (co-partitionable)
+        tdt = (
+            decoded.join(live, "doc_id")
+            .filter(F.col("gen") == F.col("live_gen"))
+            .select("term", "doc_id", "tf", "dl")
+        )
+        rebuilt = build_segments(tdt, doc_space, n_shards, partitions, payload_codec=out_codec)
 
-    segments = rebuilt.unionByName(copied) if copied is not None else rebuilt
+        segments = rebuilt.unionByName(copied) if copied is not None else rebuilt
     os.makedirs(out_dir, exist_ok=True)
     seg_path = os.path.join(out_dir, "segments")
     (

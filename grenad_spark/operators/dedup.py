@@ -492,14 +492,6 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     row-level diff join. A pathological long-chain graph would need
     large-star/small-star doubling (O(log n) rounds); max_iters guards it
     loudly instead of silently mislabeling."""
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    comp = edges.groupBy("src").agg(F.min("dst").alias("m")).select(
-        F.col("src").alias("node"),
-        F.least(F.col("src"), F.col("m")).alias("comp"),
-    )
     # Checkpoint EVERY round: comp appears twice in each round's plan (as
     # the label side and inside nbr), so without lineage truncation the
     # logical plan DOUBLES per round — exponential, and the driver OOMs
@@ -515,7 +507,25 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     except Exception:
         reliable = False
     _ckpt = (lambda df: df.checkpoint()) if reliable else (lambda df: df.localCheckpoint())
-    comp = _ckpt(comp)
+
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Materialize the symmetric edge set ONCE before the loop: edges feed
+    # every round's nbr join AND every round's checkpoint, so an
+    # unmaterialized edge frame re-executes the whole upstream pair pipeline
+    # (shingles → MinHash → band self-join) once per round — per-round cost
+    # at production scale would be a full MinHash recompute, contradicting
+    # the documented work ∝ |edges| contract.
+    edges = _ckpt(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    comp = _ckpt(
+        edges.groupBy("src").agg(F.min("dst").alias("m")).select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("m")).alias("comp"),
+        )
+    )
 
     def _finish(c: DataFrame) -> DataFrame:
         return c.select(

@@ -59,6 +59,17 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (5, "join hash tble"),
 ]
 
+# two-typo query set (max_edits=2 — transpositions cost 2 under plain
+# Levenshtein, plus genuine double typos; served via the persisted SymSpell
+# deletion table, no vocabulary scan)
+FUZZY2_QUERIES: list[tuple[int, str]] = [
+    (1, "sprak"),
+    (2, "widnow mrege"),
+    (3, "dupzz"),
+    (4, "vektr"),
+    (5, "striam bache"),
+]
+
 # conjunctive (AND) query set
 AND_QUERIES: list[tuple[int, str]] = [
     (1, "dup spark"),

@@ -169,10 +169,26 @@ def expand_fuzzy_queries(
     runs only on gram-sharing candidates, never on the whole dictionary.
     Query terms shorter than 4 chars (where one edit can destroy every
     bigram) fall back to a length-banded vocabulary scan — a bounded slice,
-    and rare in real query logs."""
+    and rare in real query logs.
+
+    max_edits == 2 (the SymSpell path): candidates come from the PERSISTED
+    (delvar, term) deletion-variant table (index.term_deletes, written at
+    build): if lev(q, t) ≤ 2 then some ≤2-char deletion of q equals some
+    ≤2-char deletion of t (each edit costs at most one deletion per side),
+    so the candidate set is an equi-join of the query's driver-tiny deletion
+    neighborhood against the table — delvar IN (…) pruned, NO vocabulary
+    scan — followed by an exact levenshtein filter. Indexes built before the
+    table existed fall back to the banded scan."""
     from grenad_spark.functions.tokenize import char_bigrams
 
     qt = _tokenize_queries(queries)
+    if max_edits == 2:
+        deletes = index.term_deletes(spark)
+        if deletes is not None:
+            cand = _symspell_candidates(spark, deletes, qt, max_edits)
+            return sorted(
+                (r["query_id"], r["term"]) for r in cand.collect()
+            )
     # the >=1-shared-bigram pigeonhole only holds for ONE edit (an edit kills
     # at most 2 adjacent bigrams); with max_edits >= 2 every term takes the
     # banded-scan path rather than silently dropping valid matches
@@ -240,6 +256,59 @@ def expand_fuzzy_queries(
         )
         pairs.update((r["query_id"], r["term"]) for r in matched)
     return sorted(pairs)
+
+
+def _deletes_upto(t: str, d: int) -> set[str]:
+    """All strings reachable from t by deleting ≤ d characters (incl. t).
+    |result| ≤ 1 + L + L(L−1)/2 at d=2 — driver-tiny per query term."""
+    out = {t}
+    frontier = {t}
+    for _ in range(d):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
+def _symspell_candidates(
+    spark: SparkSession,
+    deletes: DataFrame,
+    qt: list[tuple[int, str]],
+    max_edits: int,
+) -> DataFrame:
+    """(query_id, term) fuzzy candidates via the persisted deletion table.
+    Exposed pre-collect so tests can assert the plan shape: one delvar-IN-
+    pruned scan of term_deletes + a broadcast join — term_dict never scanned.
+    The deletion-intersection candidate set is a SUPERSET of the true ≤
+    max_edits matches (SymSpell guarantee), made exact by the levenshtein
+    filter on candidates only."""
+    qdel = sorted(
+        {
+            (q, t, v)
+            for q, t in qt
+            for v in _deletes_upto(t, max_edits)
+        }
+    )
+    qdf = spark.createDataFrame(qdel, "query_id int, qterm string, delvar string")
+    # the explicit isin reaches the parquet scan as In(delvar, …)/InSet —
+    # file/row-group pruning on the delvar-range-partitioned table; the
+    # broadcast join alone would not push its keys into the scan
+    vset = sorted({v for _, _, v in qdel})
+    band = (F.abs(F.length("term") - F.length("qterm")) <= max_edits) & (
+        F.levenshtein("term", "qterm") <= max_edits
+    )
+    return (
+        deletes.filter(F.col("delvar").isin(vset))
+        .join(F.broadcast(qdf), "delvar")
+        .select("query_id", "qterm", "term")
+        .distinct()
+        .filter(band)
+        .select("query_id", "term")
+        .distinct()
+    )
 
 
 _EDIT_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -937,7 +1006,13 @@ def search_topk_fresh(
     (index/live.py). With it, the serving plan never touches the membership
     tables: no corpus-sized groupBy and no stats action per query batch.
     Without it (None), both are derived inline — correct, but a
-    corpus-membership-sized aggregate per call."""
+    corpus-membership-sized aggregate per call.
+
+    A live map that is momentarily unreadable (mid-swap rename window,
+    compaction in flight, stale generation set after a delta build before
+    its _refresh completes) is retried once and then served via the inline
+    derivation with a warning — a concurrent reader never fails outright on
+    a map that is merely behind (index/live.py documents the windows)."""
     from grenad_spark.index.build import IndexHandle
     from grenad_spark.index.compact import _DECODED_SCHEMA, _make_decode_partition
     from grenad_spark.query.bm25 import score_expr
@@ -964,13 +1039,35 @@ def search_topk_fresh(
         )
         seg_union = s if seg_union is None else seg_union.unionByName(s)
 
+    live = None
     if live_dir is not None:
         from grenad_spark.index.live import read_live_map
 
-        live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
-        if n_docs == 0:
+        for attempt in range(2):
+            try:
+                live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
+                break
+            except (ValueError, FileNotFoundError, OSError) as exc:
+                # mid-swap / stale-set window: retry once (the swap is two
+                # renames — microseconds), then fall back to the inline
+                # derivation below, which is always correct for THIS caller's
+                # generation list (just pays the membership aggregate)
+                if attempt == 0:
+                    import time as _time
+
+                    _time.sleep(0.05)
+                    continue
+                import warnings
+
+                warnings.warn(
+                    f"live map at {live_dir} unreadable ({exc}); serving this "
+                    f"batch via inline membership derivation",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        if live is not None and n_docs == 0:
             return spark.createDataFrame([], _OUT_SCHEMA)
-    else:
+    if live is None:
         docs_union = None
         for i, h in enumerate(handles):
             d = h.docs(spark).withColumn("gen", F.lit(i))
@@ -1388,17 +1485,32 @@ def _make_wand_batched(
     return fn
 
 
+# wand_cursor guard: the cursor variant pays per-pivot PYTHON cost, so a
+# group beyond this many postings silently delegates to the batched kernel
+# (identical results — both are exact; asserted in tests). The bound keeps
+# the educational mode reachable for small corpora/tests while making the
+# O(docs)-Python loop unpickable at scale from the public IndexHandle API.
+WAND_CURSOR_MAX_POSTINGS = 100_000
+
+
 def _make_wand(avgdl: float, k: int, codec: str = "none"):
-    """Block-max WAND over one (query, shard) group.
+    """Block-max WAND over one (query, shard) group — the ALGORITHM-FAITHFUL
+    educational variant (reference/test use only; not a default serving path).
 
     Doc-at-a-time pivoting with per-term block cursors; a block is decoded
     only when the pivot lands in it AND the sum of block upper bounds at the
     pivot exceeds the running threshold θ. Block seek = np.searchsorted over
     the block last_doc array (the sparse-footer binary search of
-    src/block.rs:214-255).
+    src/block.rs:214-255). This is grenad's pull-based seek loop verbatim in
+    spirit — and therefore per-pivot Python: groups beyond
+    WAND_CURSOR_MAX_POSTINGS delegate to _make_wand_batched, the vectorized
+    kernel with the same block-max math (and identical output — both exact).
     """
+    batched = _make_wand_batched(avgdl, k, codec)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if int(pdf["n"].sum()) > WAND_CURSOR_MAX_POSTINGS:
+            return batched(pdf)
         qid = int(pdf["query_id"].iloc[0])
         # per-term cursor state
         terms = []

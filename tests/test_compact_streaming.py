@@ -273,6 +273,78 @@ def test_fresh_search_with_persisted_live_map(spark, docs_small, tmp_path):
     )
     assert inc == without
 
-    # (c) stale map (generation set mismatch) must refuse, not mis-serve
+    # (c) stale map (generation set mismatch): read_live_map itself refuses
+    # (a stale map would silently resurrect tombstoned docs)…
+    from grenad_spark.index.live import read_live_map
+
     with pytest.raises(ValueError, match="rebuild"):
-        search_topk_fresh(spark, [base], REFERENCE_QUERIES, k=10, live_dir=live_dir)
+        read_live_map(spark, live_dir, [base])
+    # …but the SERVING path must not fail outright: it warns and falls back
+    # to the inline membership derivation, which is exact for the caller's
+    # generation list (the concurrent-reader mid-swap contract)
+    with pytest.warns(RuntimeWarning, match="inline membership"):
+        stale_df = search_topk_fresh(
+            spark, [base], REFERENCE_QUERIES, k=10, live_dir=live_dir
+        )
+    base_only = _norm(search_topk_fresh(spark, [base], REFERENCE_QUERIES, k=10))
+    assert _norm(stale_df) == base_only and len(base_only) > 0
+
+    # missing live_dir entirely (reader raced a swap that hasn't landed):
+    # same warn-and-serve contract
+    with pytest.warns(RuntimeWarning, match="inline membership"):
+        missing_df = search_topk_fresh(
+            spark, [base, delta], REFERENCE_QUERIES, k=10,
+            live_dir=str(tmp_path / "nonexistent_live"),
+        )
+    assert _norm(missing_df) == without
+
+
+def test_compaction_geometry_reshard_copy_through(spark, docs_small, tmp_path):
+    """GEOMETRY-AWARE copy-through: compacting a clean 4-shard generation to
+    2 output shards must renumber blocks arithmetically (shard DIV 2 +
+    block-id offset from a metadata running sum) with ZERO decoded blocks,
+    and search/term_dict must equal a direct 2-shard build."""
+    src = str(tmp_path / "g4")
+    build_index(spark, docs_small.select("doc_id", "text"), src, n_shards=4)
+    compacted = compact_indexes(
+        spark, [src], str(tmp_path / "resh2"), n_shards=2
+    )
+    assert compacted.manifest["decoded_blocks"] == 0, compacted.manifest
+    assert compacted.manifest["copied_blocks"] > 0
+    assert compacted.n_shards == 2
+
+    mono = build_index(spark, docs_small.select("doc_id", "text"), str(tmp_path / "m2"), n_shards=2)
+    t_c = sorted(map(tuple, compacted.term_dict(spark).select("term", "df", "cf").collect()))
+    t_m = sorted(map(tuple, mono.term_dict(spark).select("term", "df", "cf").collect()))
+    assert t_c == t_m
+    r_c = _norm(search_topk(spark, compacted, REFERENCE_QUERIES, mode="wand"))
+    r_m = _norm(search_topk(spark, mono, REFERENCE_QUERIES, mode="wand"))
+    assert r_c == r_m and len(r_c) > 0
+    # pruned serving (block-id survivor joins) must also hold on the
+    # renumbered layout — block identity is (term, shard, block_id)
+    r_p = _norm(search_topk(spark, compacted, REFERENCE_QUERIES, mode="wand_pruned"))
+    assert r_p == r_m
+
+    # blocks within each (term, shard) must stay doc-disjoint, ascending,
+    # densely renumbered from 0 — the WAND cursor + survivor-join invariants
+    import pandas as pd  # noqa: F401
+
+    seg = (
+        compacted.segments(spark)
+        .select("term", "shard", "block_id", "first_doc", "last_doc")
+        .toPandas()
+        .sort_values(["term", "shard", "block_id"])
+    )
+    for (_, _), g in seg.groupby(["term", "shard"]):
+        bids = g["block_id"].to_list()
+        assert bids == list(range(len(bids))), bids
+        firsts, lasts = g["first_doc"].to_list(), g["last_doc"].to_list()
+        for i in range(1, len(firsts)):
+            assert firsts[i] > lasts[i - 1], (firsts, lasts)
+
+    # a non-multiple reshard target has no algebraic mapping → decode path
+    # (correct, just not copy-through)
+    odd = compact_indexes(spark, [src], str(tmp_path / "resh3"), n_shards=3)
+    assert odd.manifest["copied_blocks"] == 0
+    t_o = sorted(map(tuple, odd.term_dict(spark).select("term", "df", "cf").collect()))
+    assert t_o == t_m

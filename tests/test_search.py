@@ -303,3 +303,94 @@ def test_search_topk_auto_matches_exhaustive(spark, index_small):
             search_topk_auto(spark, index_small, REFERENCE_QUERIES, k=10, prune_ratio_max=ratio)
         )
         assert got == ex and len(got) > 0, ratio
+
+
+def test_wand_cursor_guard_delegates_to_batched(spark, index_small, monkeypatch):
+    """The per-pivot-Python cursor WAND is quarantined: beyond
+    WAND_CURSOR_MAX_POSTINGS per group it must delegate to the vectorized
+    batched kernel with identical results (the public API can't pick an
+    O(docs) Python loop at scale)."""
+    import grenad_spark.query.search as S
+
+    ref = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="wand"))
+    # force EVERY group over the bound: all groups take the delegation path
+    monkeypatch.setattr(S, "WAND_CURSOR_MAX_POSTINGS", 0)
+    wc = _norm(search_topk(spark, index_small, REFERENCE_QUERIES, k=10, mode="wand_cursor"))
+    assert wc == ref and len(ref) > 0
+
+
+def test_resumed_build_launches_no_jobs(spark, docs_small, tmp_path):
+    """A fully-built index must resume as a pure manifest read — zero Spark
+    jobs (the n_terms count and corpus-stats reads sit under the manifest
+    guard / short-circuit)."""
+    out = str(tmp_path / "noop")
+    build_index(spark, docs_small, out, n_shards=2)
+    sc = spark.sparkContext
+    sc.setJobGroup("noop-resume", "resumed build must be job-free")
+    try:
+        idx = build_index(spark, docs_small, out, n_shards=2)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("noop-resume")
+    assert list(jobs) == [], jobs
+    assert idx.manifest["n_terms"] > 0  # handle fully usable from manifest
+
+
+def test_search_prefix_handle_default_is_exact(spark, index_small):
+    """IndexHandle.search_prefix defaults to exhaustive expansion (None) —
+    the original public contract; capping is opt-in (serving tiers pass
+    max_expansions explicitly)."""
+    import inspect
+
+    from grenad_spark.query.search import search_topk_prefix
+
+    sig = inspect.signature(index_small.search_prefix)
+    assert sig.parameters["max_expansions"].default is None
+    qs = [(1, "sp*")]
+    got = _norm(index_small.search_prefix(spark, qs, k=10))
+    want = _norm(search_topk_prefix(spark, index_small, qs, k=10, max_expansions=None))
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy2_symspell_equals_brute_sweep(spark, index_small):
+    """max_edits=2 expansion through the persisted deletion table must equal
+    a brute Levenshtein sweep of the dictionary (the SymSpell deletion-
+    intersection superset + exact filter is lossless)."""
+    from grenad_spark.query.search import expand_fuzzy_queries
+
+    vocab = [r["term"] for r in index_small.term_dict(spark).select("term").collect()]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    assert index_small.term_deletes(spark) is not None  # built at stage 3c
+    for q in ("sprak", "widnow", "dupzz", "vektr", "ke", "x"):
+        got = {t for _, t in expand_fuzzy_queries(spark, index_small, [(1, q)], max_edits=2)}
+        want = {t for t in vocab if lev(q, t) <= 2}
+        assert got == want, (q, got ^ want)
+
+
+def test_fuzzy2_plan_scans_only_deletion_table(spark, index_small):
+    """The max_edits=2 candidate plan must be a delvar-IN-pruned scan of
+    term_deletes + broadcast join — no term_dict / vocabulary scan of any
+    kind (the r3 SCALE.md known limit, closed)."""
+    from grenad_spark.query.search import _symspell_candidates
+
+    deletes = index_small.term_deletes(spark)
+    cand = _symspell_candidates(spark, deletes, [(1, "sprak")], 2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # pushed delvar filter reaches the parquet scan (file pruning on the
+    # delvar-range-partitioned table)
+    assert "PushedFilters" in plan and "delvar" in plan, plan
+    # only ONE parquet source in the whole plan, and it's term_deletes
+    import re as _re
+
+    scans = _re.findall(r"Location:.*", plan)
+    assert scans and all("term_deletes" in s for s in scans), scans
+    assert "term_dict" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
