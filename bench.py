@@ -174,6 +174,27 @@ def host_memory_ceiling() -> float:
     return per[LOW_CPUS] / per[HIGH_CPUS]
 
 
+def host_probe_quick() -> float:
+    """Single-shot host-health probe: per-task seconds of the pinned NumPy
+    sort/cumsum kernel at HIGH_CPUS. Cheaper than the full pre/post ceiling
+    pair (one level, one rep) — recorded at EVERY phase boundary so each
+    measurement phase has adjacent host evidence. r3 lesson: absolute
+    latencies drifted ~30% round-over-round with only build-section probes,
+    leaving query-phase regressions attributable to the host by inference
+    only; with per-phase probe pairs the attribution is measured."""
+    import subprocess
+
+    code = _MEM_SNIPPET.format(cpus=HIGH_CPUS)
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{HIGH_CPUS - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("MEM_RESULT "):
+            return float(json.loads(line[len("MEM_RESULT "):])["per_task"])
+    raise RuntimeError(f"host probe failed: {p.stdout[-500:]} {p.stderr[-500:]}")
+
+
 N_SEEKS = 639  # the reference's seeks-per-iteration (benches/index-levels.rs:23)
 
 
@@ -234,6 +255,18 @@ def main() -> None:
         f"-> normalized {normalized:.3f})"
     )
 
+    # per-phase boundary probes: each measurement phase below is bracketed by
+    # adjacent host-health samples (per-task seconds of the pinned NumPy
+    # kernel at HIGH_CPUS — higher = more contended window), so per-phase
+    # numbers can be normalized against the window they actually ran in
+    probes: dict[str, float] = {}
+
+    def probe(name: str) -> None:
+        probes[name] = round(host_probe_quick(), 3)
+        log(f"host probe [{name}]: {probes[name]:.3f}s/task")
+
+    probe("query_pre")
+
     # query latency on the high-parallelism LARGE index (fresh parent session).
     # AQE off for serving: plans are static; adaptive re-planning only adds
     # query-stage materialization barriers (~0.15 s/query measured).
@@ -270,6 +303,7 @@ def main() -> None:
     p50w = statistics.median(lat["wand"].values())
     p50e = statistics.median(lat["exhaustive"].values())
     log(f"query p50 (min-of-7, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
+    probe("query_post")
 
     # batched serving shape: all reference queries in ONE Spark job — the
     # per-query Spark overhead amortizes (this is how a cluster serves)
@@ -297,6 +331,7 @@ def main() -> None:
         f"shared-decode batch ({len(REFERENCE_QUERIES)} queries, one job): "
         f"{shared_sec:.3f}s = {shared_sec / len(REFERENCE_QUERIES):.3f}s/query"
     )
+    probe("batch_post")
 
     # seek-throughput microbench — the reference bench shape
     # (benches/index-levels.rs:7-46: N_SEEKS gte-seeks per iteration across
@@ -330,6 +365,7 @@ def main() -> None:
         f"({seeks_per_sec:.0f} seeks/s batched, {n_hits} hits; "
         f"single-seek {seek_single:.3f}s)"
     )
+    probe("seek_post")
 
     # WAND pruning showcase — the base synthetic corpus has a 31-term vocab
     # with df ≈ 78% of docs (adversarially uniform: block-max pruning cannot
@@ -473,6 +509,74 @@ def main() -> None:
         f"on the zipfian mix)"
     )
 
+    probe("zipf_post")
+
+    # CROSS-TERM θ showcase: queries whose score mass is SPREAD over several
+    # terms — no rare term, so the sparse-exact machinery is idle and the
+    # per-term θ (one term's guaranteed lb) sits far below every range's
+    # multi-term UB sum: the r3 pruner structurally keeps 100% of blocks.
+    # The corpus models topical hub chunks (pool terms boosted → high
+    # min_tf ⇒ high block lb) vs boilerplate chunks (long pad ⇒ high dl ⇒
+    # low block ub) — web-shaped heterogeneity, shard-aligned so block
+    # metadata can see it. The cross-term bound counts per-range term
+    # co-occurrence (inclusion-exclusion over integer doc ids) and sums the
+    # co-occurring terms' lbs, lifting θ above the boilerplate ranges' UB.
+    import grenad_spark.query.search as _S
+    from grenad_spark.query.search import survivor_blocks
+
+    boost = " " + " ".join(["data stream batch big table join"] * 6)
+    pad = " " + " ".join(["pad"] * 800)
+    hdocs, hn = replicated_docs(spark, SF_DIR, REPL // 4)
+    hdocs = hdocs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") / 5000).cast("long") % 2 == 0,
+            F.concat("text", F.lit(boost)),
+        ).otherwise(F.concat("text", F.lit(pad))).alias("text"),
+    )
+    build_index(spark, hdocs, "/tmp/bench_idx_multiterm", overwrite=True,
+                partitions=PLAN_PARTITIONS, docs_per_shard=5000)
+    midx = IndexHandle("/tmp/bench_idx_multiterm")
+    _POOL = ["data", "stream", "batch", "big", "table", "join"]
+    mqueries = [
+        (i, " ".join(_POOL[(i + j) % len(_POOL)] for j in range(3 + i % 2)))
+        for i in range(32)
+    ]
+    mpairs = _tq(mqueries)
+    mall = _qbp(spark, midx, mpairs, columns=_META_COLS + ["payload"])[0]
+    mtot = mall.agg(
+        F.count("*").alias("c"), F.sum(F.length("payload")).alias("b")
+    ).first()
+    ratios = {}
+    for flag in (False, True):
+        _S.CROSS_TERM_THETA = flag
+        try:
+            msv = survivor_blocks(spark, midx, mpairs, 10)
+            mres = mall.join(
+                F.broadcast(msv), ["query_id", "term", "shard", "block_id"]
+            ).agg(F.count("*").alias("c"), F.sum(F.length("payload")).alias("b")).first()
+        finally:
+            _S.CROSS_TERM_THETA = True
+        ratios[flag] = (int(mres["c"]), int(mres["b"]))
+    m_exact = sorted(map(tuple, search_topk(spark, midx, mqueries, k=10, mode="exhaustive").collect()))
+    m_pruned = sorted(map(tuple, search_topk(spark, midx, mqueries, k=10, mode="wand_pruned").collect()))
+    assert m_pruned == m_exact, "multiterm wand_pruned diverged"
+    queries["multiterm_survivor_blocks_perterm_only"] = ratios[False][0]
+    queries["multiterm_survivor_blocks_crossterm"] = ratios[True][0]
+    queries["multiterm_total_query_blocks"] = int(mtot["c"])
+    queries["multiterm_survivor_payload_mb_crossterm"] = round(ratios[True][1] / 1e6, 2)
+    queries["multiterm_total_payload_mb"] = round(int(mtot["b"]) / 1e6, 2)
+    log(
+        f"cross-term θ showcase ({hn} docs, 32 multi-term queries): "
+        f"survivors {ratios[True][0]}/{mtot['c']} blocks "
+        f"({ratios[True][0] / int(mtot['c']):.1%}) with the cross-term bound "
+        f"vs {ratios[False][0]}/{mtot['c']} "
+        f"({ratios[False][0] / int(mtot['c']):.1%}) per-term-only; "
+        f"{ratios[True][1] / 1e6:.1f}/{int(mtot['b']) / 1e6:.1f} MB of payload "
+        f"cross the exchange (results exact either way)"
+    )
+    probe("multiterm_post")
+
     total = time.time() - t_suite
     result = {
         "metric": "index_build_plus_bm25_suite_seconds",
@@ -503,6 +607,13 @@ def main() -> None:
         "zipf_shared_pruned_speedup": round(zt["exhaustive"] / zsp, 2),
         "zipf_udf_speedup_computeonly": round(udf_ms["exhaustive"] / udf_ms["wand"], 2),
         "zipf_shuffle_survivor_ratio": round(prune_ratio, 4),
+        "multiterm_survivor_ratio_crossterm": round(ratios[True][0] / max(1, int(mtot["c"])), 4),
+        "multiterm_survivor_ratio_perterm_only": round(ratios[False][0] / max(1, int(mtot["c"])), 4),
+        # phase-boundary host probes (per-task sec of the pinned NumPy kernel
+        # at HIGH_CPUS; each phase's window = [previous boundary, its own]):
+        # query ∈ [query_pre, query_post], batch ∈ [query_post, batch_post],
+        # seek ∈ [batch_post, seek_post], zipf ∈ [seek_post, zipf_post]
+        "host_probe_per_task_sec": probes,
     }
     print(json.dumps(result), flush=True)
 

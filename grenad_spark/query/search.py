@@ -831,6 +831,11 @@ def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):
     UBs alone can't reach θ. A dense block survives iff it overlaps a
     surviving range; sparse blocks always ship (they are the small side).
     θ = −1 (no bound available) keeps everything — never lossy."""
+    # snapshot the A/B toggle at PLAN time (driver): _prune_one_query is a
+    # top-level function — workers import it by reference and would read the
+    # module DEFAULT, not the driver's setting; a closure variable is
+    # pickled by value and travels with the plan
+    cross_term = CROSS_TERM_THETA
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -857,7 +862,7 @@ def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):
         for qi in range(qstarts.size - 1):
             out = _prune_one_query(
                 pdf.iloc[int(qstarts[qi]) : int(qstarts[qi + 1])],
-                avgdl, k, codec, decoded_cache, empty,
+                avgdl, k, codec, decoded_cache, empty, cross_term,
             )
             if len(out):
                 outs.append(out)
@@ -866,8 +871,94 @@ def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):
     return fn
 
 
+N_COARSE_RANGES = 32  # coarse ranges per qshard group for the cross-term θ
+# A/B toggle (bench + tests): disable to measure what the per-term/sparse
+# bounds alone prune — the r3 pruner's behavior
+CROSS_TERM_THETA = True
+
+
+def _cross_term_theta(rterms: list[dict], k: int) -> float:
+    """CROSS-TERM θ lower bound from block metadata (the reference-spirit
+    extension of the per-term bound: src/block.rs:214-255's block-max pivot
+    math across ALL query terms at once).
+
+    The per-term θ only ever proves "k docs score ≥ lb from ONE term" — on
+    queries whose score mass is spread across terms it under-bounds by the
+    other terms' guaranteed contributions. Pure block metadata cannot sum
+    lbs per doc (a doc in term A's block need not appear in term B's), but
+    COUNTING can: over a coarse doc range R of integer width W,
+
+      c_t(R) = Σ n_b over blocks of t FULLY contained in R   (exact count)
+      l_t(R) = min lb_b over those blocks                    (per-doc floor)
+
+    and for the terms sorted by l desc, at least
+      inter_p = max(0, Σ_{i≤p} c_i − (p−1)·W)
+    distinct docs lie in ALL of the first p terms' postings within R
+    (inclusion–exclusion over ≤ W integer doc ids), each scoring
+    ≥ S_p = Σ_{i≤p} l_i. The nested family inter_1 ⊇ inter_2 ⊇ … yields
+    disjoint count levels (inter_p − inter_{p+1} docs at value S_p); ranges
+    are disjoint, so accumulating levels value-descending until ≥ k docs
+    bounds the kth-best FULL score from below. Sparse terms participate with
+    exact unit pseudo-blocks (their c is an exact count, l the exact score).
+
+    Coarse (not block-boundary) ranges on purpose: fully-contained blocks
+    contribute exact counts with zero span slack, where block-aligned ranges
+    would pay (span − width) slack per term and the bound would collapse on
+    misaligned block grids. Never lossy: returns −1 when fewer than k docs
+    are guaranteed; the caller maxes this with the other θ sources."""
+    if not rterms:
+        return -1.0
+    lo = min((int(t["first"][0]) for t in rterms if t["first"].size), default=0)
+    hi = max((int(t["last"][-1]) for t in rterms if t["last"].size), default=-1)
+    if hi <= lo:
+        return -1.0
+    # range granularity adapts to the densest term's block count: a range
+    # needs to span ≥ ~2 blocks for full containment to count anything (a
+    # term whose blocks are wider than the ranges contributes C = 0 — safe
+    # but useless)
+    n_ranges = max(1, min(N_COARSE_RANGES, max(t["first"].size for t in rterms) // 2))
+    bounds = np.unique(np.linspace(lo, hi + 1, n_ranges + 1).astype(np.int64))
+    starts, ends = bounds[:-1], bounds[1:]
+    widths = (ends - starts).astype(np.float64)
+    nR = starts.size
+    T = len(rterms)
+    L = np.zeros((T, nR))
+    C = np.zeros((T, nR))
+    for ti, t in enumerate(rterms):
+        # blocks fully inside [s, e): contiguous run (blocks sorted, disjoint)
+        i0 = np.searchsorted(t["first"], starts, side="left")
+        i1 = np.searchsorted(t["last"], ends - 1, side="right")
+        csum = np.concatenate(([0], np.cumsum(t["nb"])))
+        for ri in range(nR):
+            a, b = int(i0[ri]), int(i1[ri])
+            if b > a:
+                C[ti, ri] = csum[b] - csum[a]
+                L[ti, ri] = float(t["lb"][a:b].min())
+    order = np.argsort(-L, axis=0)
+    Ls = np.take_along_axis(L, order, axis=0)
+    Cs = np.take_along_axis(C, order, axis=0)
+    S = np.cumsum(Ls, axis=0)
+    CS = np.cumsum(Cs, axis=0)
+    p_minus_1 = np.arange(T, dtype=np.float64)[:, None]
+    inter = np.maximum(0.0, CS - p_minus_1 * widths[None, :])
+    disj = inter - np.vstack([inter[1:], np.zeros((1, nR))])
+    vals = S.ravel()
+    cnts = disj.ravel()
+    m = (cnts > 0) & (vals > 0)
+    if not m.any():
+        return -1.0
+    vals, cnts = vals[m], cnts[m]
+    o = np.argsort(-vals, kind="stable")
+    cum = np.cumsum(cnts[o])
+    idx = int(np.searchsorted(cum, k))
+    if idx >= vals.size:
+        return -1.0
+    return float(vals[o][idx])
+
+
 def _prune_one_query(
-    pdf: pd.DataFrame, avgdl: float, k: int, codec: str, decoded_cache: dict, empty: pd.DataFrame
+    pdf: pd.DataFrame, avgdl: float, k: int, codec: str, decoded_cache: dict,
+    empty: pd.DataFrame, cross_term: bool = True,
 ) -> pd.DataFrame:
     """Prune one query's blocks within one qshard group (see _make_meta_prune
     for the math). pdf is pre-sorted by (term, first_doc)."""
@@ -925,6 +1016,8 @@ def _prune_one_query(
             entry["first"] = d
             entry["last"] = d
             entry["ub"] = c
+            entry["lb"] = c  # exact — the pseudo-block's bound is its score
+            entry["nb"] = np.ones(d.size, dtype=np.int64)
             sparse_terms.append(entry)
             seed_docs.append(d)
             seed_scores.append(c)
@@ -932,6 +1025,8 @@ def _prune_one_query(
         entry["first"] = first_np[s:e]
         entry["last"] = last_np[s:e]
         entry["ub"] = ub_all[s:e]
+        entry["lb"] = lb_all[s:e]
+        entry["nb"] = ns_np[s:e]
         terms.append(entry)
         lb = lb_all[s:e]
         order = np.argsort(-lb, kind="stable")
@@ -949,6 +1044,12 @@ def _prune_one_query(
                 theta = max(
                     theta, float(np.partition(agg, uniq.size - k)[uniq.size - k])
                 )
+    # third independent bound: cross-term counting over coarse ranges —
+    # fires on queries whose score mass is SPREAD across terms (the per-term
+    # and sparse-seed bounds both under-count those); max of valid lower
+    # bounds is a valid lower bound
+    if cross_term and len(terms) + len(sparse_terms) > 1:
+        theta = max(theta, _cross_term_theta(terms + sparse_terms, k))
 
     def emit(mask_per_term):
         frames = []
@@ -1507,9 +1608,11 @@ def _make_wand(avgdl: float, k: int, codec: str = "none"):
     kernel with the same block-max math (and identical output — both exact).
     """
     batched = _make_wand_batched(avgdl, k, codec)
+    # snapshot at plan time (same worker-import caveat as _make_meta_prune)
+    max_postings = WAND_CURSOR_MAX_POSTINGS
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if int(pdf["n"].sum()) > WAND_CURSOR_MAX_POSTINGS:
+        if int(pdf["n"].sum()) > max_postings:
             return batched(pdf)
         qid = int(pdf["query_id"].iloc[0])
         # per-term cursor state
