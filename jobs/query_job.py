@@ -22,10 +22,23 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--mode",
         default="wand",
-        choices=["wand", "wand_pruned", "exhaustive", "wand_cursor", "shared", "shared_pruned"],
+        choices=[
+            "wand", "wand_pruned", "exhaustive", "wand_cursor",
+            "shared", "shared_pruned", "auto",
+            "fuzzy", "fuzzy2", "prefix", "and",
+        ],
         help="wand_pruned = two-pass metadata prune (shuffle ∝ surviving "
         "blocks — pick when the exchange is network-bound); shared[_pruned] "
-        "= decode-once-score-many batch",
+        "= decode-once-score-many batch; auto = per-batch gate on the "
+        "measured survivor ratio; fuzzy/fuzzy2 = typo-tolerant "
+        "(Levenshtein ≤ 1/2 via the persisted typo tables); prefix = "
+        "trailing-* expansion; and = conjunctive",
+    )
+    ap.add_argument(
+        "--max-expansions", type=int, default=None,
+        help="prefix mode: cap each prefix to its top-df expansions "
+        "(default exhaustive; serving tiers facing web vocabularies "
+        "should set one, e.g. 128)",
     )
     args = ap.parse_args(argv)
 
@@ -44,6 +57,18 @@ def main(argv: list[str] | None = None) -> None:
         res = search_topk_shared(
             spark, idx, queries, k=args.k, prune=args.mode == "shared_pruned"
         )
+    elif args.mode == "auto":
+        res = idx.search_auto(spark, queries, k=args.k)
+    elif args.mode in ("fuzzy", "fuzzy2"):
+        res = idx.search_fuzzy(
+            spark, queries, k=args.k, max_edits=1 if args.mode == "fuzzy" else 2
+        )
+    elif args.mode == "prefix":
+        res = idx.search_prefix(
+            spark, queries, k=args.k, max_expansions=args.max_expansions
+        )
+    elif args.mode == "and":
+        res = idx.search_and(spark, queries, k=args.k)
     else:
         res = search_topk(spark, idx, queries, k=args.k, mode=args.mode)
     for row in res.collect():

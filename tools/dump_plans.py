@@ -118,6 +118,23 @@ def main() -> None:
         )
     )
 
+    from grenad_spark.query.search import _symspell_candidates
+
+    deletes = idx.term_deletes(spark)
+    if deletes is not None:
+        sections.append(
+            (
+                "Fuzzy max_edits=2: SymSpell deletion-table expansion",
+                "Must show: ONE parquet source only (term_deletes — term_dict "
+                "is never scanned), PushedFilters with delvar IN (...) reaching "
+                "that scan (file pruning on the delvar-range layout), a "
+                "BroadcastHashJoin against the driver-tiny query deletion "
+                "neighborhood, and the exact levenshtein filter applied to "
+                "candidates only.",
+                plan_str(_symspell_candidates(spark, deletes, [(1, "sprak")], 2)),
+            )
+        )
+
     from grenad_spark.operators.dedup import minhash_lsh_pairs
 
     sections.append(
