@@ -143,6 +143,24 @@ if __name__ == "__main__":
 """
 
 
+def _run_mem_probe(cpus: int) -> float:
+    """One pinned run of the pure-NumPy sort/cumsum kernel at `cpus` procs;
+    returns mean per-task seconds. The single shared subprocess+parse block
+    for both the ceiling calibration and the per-phase probes — protocol
+    changes happen exactly once."""
+    import subprocess
+
+    code = _MEM_SNIPPET.format(cpus=cpus)
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("MEM_RESULT "):
+            return float(json.loads(line[len("MEM_RESULT "):])["per_task"])
+    raise RuntimeError(f"host probe failed: {p.stdout[-500:]} {p.stderr[-500:]}")
+
+
 def host_memory_ceiling() -> float:
     """Max achievable LOW→HIGH scaling efficiency for a perfectly parallel,
     memory-bound workload ON THIS HOST (pinned pure-NumPy sort/cumsum).
@@ -153,23 +171,14 @@ def host_memory_ceiling() -> float:
     cluster multiplies memory systems along with cores; the engine's
     efficiency NORMALIZED by this ceiling is the cluster-relevant number.
     """
-    import subprocess
-
     per: dict[int, float] = {}
     # best-of-2 interleaved, like the builds: a noisy-neighbor burst during
     # one 20 s window otherwise corrupts the calibration itself (observed
     # ceiling swinging 0.26-0.60 across runs)
     for _ in range(2):
         for cpus in (LOW_CPUS, HIGH_CPUS):
-            code = _MEM_SNIPPET.format(cpus=cpus)
-            p = subprocess.run(
-                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=300,
-            )
-            for line in p.stdout.splitlines():
-                if line.startswith("MEM_RESULT "):
-                    t = json.loads(line[len("MEM_RESULT "):])["per_task"]
-                    per[cpus] = min(per.get(cpus, float("inf")), t)
+            t = _run_mem_probe(cpus)
+            per[cpus] = min(per.get(cpus, float("inf")), t)
     # ideal-parallel wall time ∝ per_task; efficiency cap = per(L)/per(H)
     return per[LOW_CPUS] / per[HIGH_CPUS]
 
@@ -182,17 +191,7 @@ def host_probe_quick() -> float:
     latencies drifted ~30% round-over-round with only build-section probes,
     leaving query-phase regressions attributable to the host by inference
     only; with per-phase probe pairs the attribution is measured."""
-    import subprocess
-
-    code = _MEM_SNIPPET.format(cpus=HIGH_CPUS)
-    p = subprocess.run(
-        ["taskset", "-c", f"0-{HIGH_CPUS - 1}", sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=300,
-    )
-    for line in p.stdout.splitlines():
-        if line.startswith("MEM_RESULT "):
-            return float(json.loads(line[len("MEM_RESULT "):])["per_task"])
-    raise RuntimeError(f"host probe failed: {p.stdout[-500:]} {p.stderr[-500:]}")
+    return _run_mem_probe(HIGH_CPUS)
 
 
 N_SEEKS = 639  # the reference's seeks-per-iteration (benches/index-levels.rs:23)

@@ -1119,8 +1119,14 @@ def _reorder_registry() -> None:
     missing = [n for n in full if n not in QUERIES]
     extra = [n for n in QUERIES if n not in full]
     # fail at import, not at driver time: a query registered but absent from
-    # the explicit order (or vice versa) is a silent gate-coverage change
-    assert not missing and not extra, (missing, extra)
+    # the explicit order (or vice versa) is a silent gate-coverage change.
+    # A hard raise, not assert — python -O would strip an assert and the
+    # rebuild below would then silently DROP the unlisted query
+    if missing or extra:
+        raise RuntimeError(
+            f"registry/order mismatch: missing from registry {missing}, "
+            f"registered but not ordered {extra}"
+        )
     ordered = {n: QUERIES[n] for n in full}
     QUERIES.clear()
     QUERIES.update(ordered)

