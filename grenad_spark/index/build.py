@@ -125,12 +125,20 @@ def _encode_partition_stream(
     ends = np.concatenate((change, [len(pdf)]))
     rows = []
     for s, e in zip(starts, ends):
-        # run-length tf: docs sorted within the group, duplicates adjacent
-        uniq_docs, first_idx, counts = np.unique(
-            doc[s:e], return_index=True, return_counts=True
-        )
+        # run-length tf: docs sorted within the group, duplicates adjacent.
+        # Boundary-diff, NOT np.unique: unique re-sorts its input (O(n log n)
+        # plus a copy) when the upstream sortWithinPartitions already
+        # guarantees order — in the memory-bandwidth-bound encode phase the
+        # redundant sort is pure bus traffic. Unsorted input cannot slip
+        # through silently: the diff pass would emit duplicate docs and
+        # encode_posting_blocks' strictly-increasing assertion (the grenad
+        # Writer::insert key-order contract) fires.
+        d = doc[s:e]
+        run_bounds = np.flatnonzero(d[1:] != d[:-1]) + 1
+        first_idx = np.concatenate(([0], run_bounds))
+        uniq_docs = d[first_idx]
         if tf_col is None:
-            tf = counts
+            tf = np.diff(np.concatenate((first_idx, [d.size])))
         else:
             tf = np.add.reduceat(tf_col[s:e], first_idx)
         for block_id, (
@@ -621,6 +629,22 @@ class IndexHandle:
             .distinct()
         )
 
+    def positions(self, spark: SparkSession) -> DataFrame:
+        """(term, shard, block_id, n, first_doc, last_doc, header, positions)
+        positional blocks (index/positions.py — the Meilisearch
+        word-position-database layer). Raises if the table was never built;
+        call build_positions(spark, docs, index_dir) to add it."""
+        p = os.path.join(self.path, "positions")
+        if not _done(p):
+            raise FileNotFoundError(
+                f"index at {self.path} has no positions table — "
+                f"build_positions() adds it (needs the original docs)"
+            )
+        return self._table(spark, "positions")
+
+    def has_positions(self) -> bool:
+        return _done(os.path.join(self.path, "positions"))
+
     def term_deletes(self, spark: SparkSession) -> DataFrame | None:
         """(delvar, term) persisted SymSpell deletion table (max_edits=2
         expansion via delvar equi-join — no vocabulary scan). Returns None
@@ -680,6 +704,13 @@ class IndexHandle:
         from grenad_spark.query.search import search_conjunctive
 
         return search_conjunctive(spark, self, queries, k=k)
+
+    def search_phrase(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k (token adjacency) over the positional index;
+        requires build_positions() to have run for this index."""
+        from grenad_spark.query.phrase import search_topk_phrase
+
+        return search_topk_phrase(spark, self, queries, k=k)
 
     def seek_gte(self, spark: SparkSession, keys) -> DataFrame:
         """Batched posting-level gte-seeks [(seek_id, term, target_doc)]."""

@@ -1,0 +1,110 @@
+"""Facet distribution — Meilisearch-style facet counts over document fields.
+
+In the reference stack, Meilisearch materializes facet databases
+(field-id → value → docids) as grenad KV files built through the same
+Sorter/Writer pipeline as the word databases, and answers "facet
+distribution" requests (value → count, optionally restricted to a search's
+match set) by streaming those posting sets. Spark-first, both shapes are a
+projection + one aggregate:
+
+- facet_counts: unpivot the facet columns with `stack` (one JVM-side
+  projection, no UDF, no shuffle before the partial agg) then count per
+  (facet, value). At 10^12 docs the shuffle carries |distinct values| rows
+  per partition after map-side combine — the same reason the term_dict build
+  scales.
+- facet_counts_for_term: the search-restricted distribution. The match set
+  comes from the INDEX (pruned segment scan of one term + vectorized block
+  decode — the point-lookup path), then a doc_id equi-join against the
+  documents table feeds the same unpivot+count. Work ∝ posting size of the
+  term, never ∝ corpus.
+- facet_numeric_buckets: fixed-width histogram of a numeric field (the
+  numeric-facet-range analog of Meilisearch's ordered facet levels).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grenad_spark.functions.varbyte import decode_block_rows, decompress_payloads
+
+
+def facet_counts(docs: DataFrame, facet_cols: list[str]) -> DataFrame:
+    """(facet, value, cnt) — value distribution of each facet column."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in facet_cols)
+    unpivoted = docs.selectExpr(f"stack({len(facet_cols)}, {pairs}) AS (facet, value)")
+    return unpivoted.groupBy("facet", "value").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def sql_facet_counts(facet_cols: list[str], table: str = "documents") -> str:
+    parts = [
+        f"SELECT '{c}' AS facet, CAST({c} AS VARCHAR) AS value, "
+        f"count(*)::BIGINT AS cnt FROM {table} GROUP BY 1, 2"
+        for c in facet_cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _make_decode_docs(codec: str):
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d, _tf, _dl = decode_block_rows(
+                decompress_payloads(list(pdf["payload"]), codec),
+                pdf["n"].to_numpy(),
+            )
+            yield pd.DataFrame({"doc_id": d})
+
+    return fn
+
+
+def matching_doc_ids(spark: SparkSession, index, term: str) -> DataFrame:
+    """(doc_id) of every doc containing `term`, decoded from the index's
+    posting blocks (pruned scan: In(term) reaches the parquet reader)."""
+    seg = index.segments(spark).filter(F.col("term") == term).select("n", "payload")
+    return seg.mapInPandas(_make_decode_docs(index.payload_codec), "doc_id long")
+
+
+def facet_counts_for_term(
+    spark: SparkSession, index, docs: DataFrame, term: str, facet_cols: list[str]
+) -> DataFrame:
+    """Facet distribution restricted to docs matching `term` — the
+    Meilisearch facetDistribution-of-a-search shape."""
+    matched = matching_doc_ids(spark, index, term)
+    return facet_counts(docs.join(matched, "doc_id"), facet_cols)
+
+
+def sql_facet_counts_for_term(
+    facet_cols: list[str], term: str, table: str = "documents"
+) -> str:
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    match = (
+        f"(SELECT d.* FROM {table} d JOIN (SELECT DISTINCT doc_id FROM "
+        f"({sql_term_doc_tf(table)}) WHERE term = '{term}') m ON d.doc_id = m.doc_id)"
+    )
+    return sql_facet_counts(facet_cols, match + " AS t")
+
+
+def facet_numeric_buckets(docs: DataFrame, col: str, width: int) -> DataFrame:
+    """(bucket, lo, cnt) fixed-width histogram of a numeric column; lo is
+    the bucket's inclusive lower bound. Negative values floor correctly
+    (integer FLOOR division, not truncation)."""
+    b = F.floor(F.col(col) / F.lit(int(width))).cast("long")
+    return docs.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    ).select(
+        "bucket", (F.col("bucket") * int(width)).alias("lo"), "cnt"
+    )
+
+
+def sql_facet_numeric_buckets(col: str, width: int, table: str = "documents") -> str:
+    return (
+        f"SELECT bucket, bucket * {width} AS lo, cnt FROM ("
+        f"SELECT CAST(floor({col} / {width}.0) AS BIGINT) AS bucket, "
+        f"count(*)::BIGINT AS cnt FROM {table} GROUP BY 1)"
+    )

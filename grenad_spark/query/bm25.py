@@ -78,6 +78,18 @@ AND_QUERIES: list[tuple[int, str]] = [
     (4, "dup stream batch"),
 ]
 
+# exact-phrase query set (token adjacency over the positional index):
+# common bigrams, a trigram, a single-term phrase, a repeated-term phrase,
+# and an out-of-vocabulary phrase that must return no rows
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "the fast"),
+    (3, "key value stream"),
+    (4, "dup"),
+    (5, "data batch data"),
+    (6, "zzzunknown phrase"),
+]
+
 # prefix-search query set (terms ending in * expand against the dictionary)
 PREFIX_QUERIES: list[tuple[int, str]] = [
     (1, "sp*"),
@@ -325,6 +337,63 @@ scored AS (
   JOIN dl ON tdt.doc_id = dl.doc_id
   CROSS JOIN cs
   GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def bm25_phrase_oracle_sql(
+    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K
+) -> str:
+    """DuckDB oracle for exact-phrase BM25: a doc matches iff the phrase's
+    tokens appear ADJACENTLY in order in its token stream; matches rank by
+    BM25 over the phrase's distinct terms. Adjacency is checked with the
+    space-join trick — tokens contain only [a-z0-9], so substring match of
+    ' t0 t1 ... ' inside ' '||array_to_string(tokens,' ')||' ' is EXACTLY
+    token adjacency (no partial-token false positives, no LIKE
+    metacharacters)."""
+    import re
+
+    queries = queries if queries is not None else PHRASE_QUERIES
+    norm = [
+        (qid, " ".join(t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t))
+        for qid, q in queries
+    ]
+    norm = [(qid, p) for qid, p in norm if p]
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in norm)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+q AS (SELECT * FROM (VALUES {rows}) AS v(query_id, phrase)),
+match AS (
+  SELECT q.query_id, toks.doc_id
+  FROM toks CROSS JOIN q
+  WHERE ' ' || array_to_string(toks.t, ' ') || ' ' LIKE '% ' || q.phrase || ' %'
+),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(phrase, ' ')) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM match m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN tdt ON tdt.term = qt.term AND tdt.doc_id = m.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN cs
+  GROUP BY m.query_id, m.doc_id
 )
 SELECT query_id, doc_id, score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
