@@ -366,6 +366,111 @@ def main() -> None:
     )
     probe("seek_post")
 
+    # phrase serving over the positional index (query/phrase.py): positions
+    # build throughput (one more (term,shard) shuffle of the occurrence
+    # stream — the Meilisearch word-position-database build), then the
+    # 12-phrase batch in one job.
+    from pyspark.sql import functions as F
+
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase
+
+    pdocs, pnd = replicated_docs(spark, SF_DIR, REPL)
+    t0 = time.time()
+    build_positions(spark, pdocs, "/tmp/bench_idx_h_large", partitions=PLAN_PARTITIONS)
+    tpos = time.time() - t0
+    queries["positions_build"] = round(tpos, 3)
+    log(f"positions build: {tpos:.1f}s ({pnd / tpos:.0f} docs/s, {pnd} docs)")
+    phrase_qs = [
+        (1, "merge sort"), (2, "the fast"), (3, "key value stream"),
+        (4, "dup"), (5, "data batch data"), (6, "hash join"),
+        (7, "sort table scan"), (8, "group query row"), (9, "stream batch"),
+        (10, "window small"), (11, "customer line"), (12, "slow customer line"),
+    ]
+    search_topk_phrase(spark, idx, phrase_qs[:4], k=10).collect()  # warm
+    tp = {True: float("inf"), False: float("inf")}
+    pres = {}
+    for _ in range(3):
+        for prune in (True, False):
+            t0 = time.time()
+            pres[prune] = sorted(map(tuple, search_topk_phrase(
+                spark, idx, phrase_qs, k=10, prune_shards=prune).collect()))
+            tp[prune] = min(tp[prune], time.time() - t0)
+    assert pres[True] == pres[False], "phrase shard-prune diverged"
+    queries["phrase_batch_12"] = round(tp[True], 3)
+    queries["phrase_batch_12_noprune"] = round(tp[False], 3)
+    log(
+        f"phrase batch (12 phrases, one job): pruned={tp[True]:.3f}s "
+        f"noprune={tp[False]:.3f}s ({tp[True] / 12:.3f}s/query; uniform "
+        f"corpus — every term in every shard, so the pre-pass can't prune "
+        f"here; the localized-marker leg below is where it bites)"
+    )
+
+    # localized-marker shard-prune showcase: temporal/local vocabulary — a
+    # marker term that exists only in one doc-id range (one shard), phrased
+    # with a corpus-wide head term. The metadata pre-pass intersects the
+    # per-term shard sets, so the head term's positions payload ships ONLY
+    # for the marker's shard — the phrase analog of the two-pass wand prune.
+    small_repl = max(1, REPL // 4)
+    mdocs, mnd = replicated_docs(spark, SF_DIR, small_repl)
+    n_ranges = 16
+    range_size = (mnd + n_ranges - 1) // n_ranges
+    mdocs = mdocs.select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" marker"),
+            (F.col("doc_id") / range_size).cast("long").cast("string"),
+            F.lit(" data"),
+        ).alias("text"),
+    )
+    build_index(spark, mdocs, "/tmp/bench_idx_phrase_marker", overwrite=True,
+                partitions=PLAN_PARTITIONS, docs_per_shard=5000)
+    build_positions(spark, mdocs, "/tmp/bench_idx_phrase_marker",
+                    partitions=PLAN_PARTITIONS)
+    midx_p = IndexHandle("/tmp/bench_idx_phrase_marker")
+    mqs = [(j, f"marker{j} data") for j in range(n_ranges)]
+    search_topk_phrase(spark, midx_p, mqs[:4], k=10).collect()  # warm
+    mtp = {True: float("inf"), False: float("inf")}
+    mres = {}
+    for _ in range(3):
+        for prune in (True, False):
+            t0 = time.time()
+            mres[prune] = sorted(map(tuple, search_topk_phrase(
+                spark, midx_p, mqs, k=10, prune_shards=prune).collect()))
+            mtp[prune] = min(mtp[prune], time.time() - t0)
+    assert mres[True] == mres[False], "marker phrase shard-prune diverged"
+    # survivor evidence: (query, shard) groups entering the kernel with vs
+    # without the metadata pre-pass
+    ptbl = midx_p.positions(spark)
+    mterms = sorted({t for _, q in mqs for t in q.split()})
+    mpairs = [(qid, t) for qid, q in mqs for t in set(q.split())]
+    mqt = spark.createDataFrame(mpairs, "query_id int, term string")
+    mblocks = ptbl.filter(F.col("term").isin(mterms)).join(F.broadcast(mqt), "term")
+    total_groups = mblocks.select("query_id", "shard").distinct().count()
+    nt_df = spark.createDataFrame(
+        [(qid, len(set(q.split()))) for qid, q in mqs], "query_id int, nt int"
+    )
+    surv_groups = (
+        mblocks.select("query_id", "shard", "term").distinct()
+        .groupBy("query_id", "shard")
+        .agg(F.countDistinct("term").alias("ct"))
+        .join(F.broadcast(nt_df), "query_id")
+        .filter(F.col("ct") == F.col("nt"))
+        .count()
+    )
+    queries["phrase_marker_batch_16"] = round(mtp[True], 3)
+    queries["phrase_marker_batch_16_noprune"] = round(mtp[False], 3)
+    queries["phrase_marker_survivor_groups"] = surv_groups
+    queries["phrase_marker_total_groups"] = total_groups
+    log(
+        f"phrase localized-marker prune ({n_ranges} queries, {mnd} docs): "
+        f"pruned={mtp[True]:.3f}s noprune={mtp[False]:.3f}s "
+        f"({mtp[False] / mtp[True]:.2f}x); {surv_groups}/{total_groups} "
+        f"(query, shard) groups survive the metadata pre-pass"
+    )
+    probe("phrase_post")
+
     # WAND pruning showcase — the base synthetic corpus has a 31-term vocab
     # with df ≈ 78% of docs (adversarially uniform: block-max pruning cannot
     # fire by construction, so wand ≈ exhaustive there). Real web corpora are
@@ -606,6 +711,10 @@ def main() -> None:
         "zipf_shared_pruned_speedup": round(zt["exhaustive"] / zsp, 2),
         "zipf_udf_speedup_computeonly": round(udf_ms["exhaustive"] / udf_ms["wand"], 2),
         "zipf_shuffle_survivor_ratio": round(prune_ratio, 4),
+        "positions_build_docs_per_sec": round(pnd / tpos, 1),
+        "phrase_batched_sec_per_query": round(tp[True] / len(phrase_qs), 4),
+        "phrase_marker_prune_speedup": round(mtp[False] / mtp[True], 2),
+        "phrase_marker_survivor_ratio": round(surv_groups / max(1, total_groups), 4),
         "multiterm_survivor_ratio_crossterm": round(ratios[True][0] / max(1, int(mtot["c"])), 4),
         "multiterm_survivor_ratio_perterm_only": round(ratios[False][0] / max(1, int(mtot["c"])), 4),
         # phase-boundary host probes (per-task sec of the pinned NumPy kernel

@@ -861,6 +861,40 @@ def q_facet_numeric_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _facets.facet_numeric_buckets(_docs(spark, sf_dir), "n_chars", 500)
 
 
+from grenad_spark.query.phrase import sql_phrase_snippets as _sql_phrase_snippets  # noqa: E402
+
+
+from grenad_spark.query.phrase import sql_proximity_topk as _sql_prox  # noqa: E402
+
+
+@register("bm25_topk_proximity", _sql_prox(bm25.PROX_QUERIES))
+def q_bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-ranked conjunctive search (the Meilisearch proximity rule)
+    over the positional index: rank by summed adjacent-pair min position
+    distance, ties by BM25 then doc_id."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_proximity
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_proximity(spark, idx, bm25.PROX_QUERIES, k=10)
+
+
+@register("bm25_topk_phrase_snippets", _sql_phrase_snippets())
+def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-k with a cropped snippet around the first occurrence
+    (Meilisearch crop/_formatted). Post-processing on k·|queries| rows;
+    snippet math runs on the normalized token stream on BOTH engines."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import phrase_snippets
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return phrase_snippets(spark, idx, _docs(spark, sf_dir), bm25.PHRASE_QUERIES, k=10)
+
+
 _BM25_WITH_DOCS_ORACLE = bm25.bm25_oracle_sql().replace(
     "SELECT query_id, doc_id, score FROM (",
     "SELECT query_id, doc_id, score, lang, n_chars FROM (",
@@ -1164,6 +1198,7 @@ _OVERFLOW_ORDER = [
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_redact_pii",
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
+    "bm25_topk_proximity", "bm25_topk_phrase_snippets",
     "media_features", "media_metadata", "media_resize", "media_frames",
 ]
 

@@ -712,6 +712,14 @@ class IndexHandle:
 
         return search_topk_phrase(spark, self, queries, k=k)
 
+    def search_proximity(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Proximity-ranked conjunctive top-k (Meilisearch proximity rule)
+        over the positional index: summed adjacent-pair min position
+        distance ASC, then BM25 DESC, then doc_id."""
+        from grenad_spark.query.phrase import search_topk_proximity
+
+        return search_topk_proximity(spark, self, queries, k=k)
+
     def seek_gte(self, spark: SparkSession, keys) -> DataFrame:
         """Batched posting-level gte-seeks [(seek_id, term, target_doc)]."""
         from grenad_spark.operators.seek import seek_gte_postings

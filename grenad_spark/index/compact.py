@@ -355,6 +355,20 @@ def compact_indexes(
         F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).first()
 
+    # positions sibling table: if EVERY generation carries one, the compacted
+    # index does too — a pure LSM merge of the generations' position blocks
+    # (decode → newest-gen-wins per doc → re-encode), no re-tokenization.
+    # Mixed availability degrades to "no positions" (phrase serving would be
+    # silently wrong for the gap generations otherwise).
+    has_pos = all(h.has_positions() for h in handles)
+    if has_pos:
+        from grenad_spark.index.positions import compact_positions
+
+        compact_positions(
+            spark, handles, live, out_dir, doc_space, n_shards,
+            partitions, out_codec,
+        )
+
     manifest = {
         "format_version": CURRENT_FORMAT_VERSION,
         "n_docs": int(st["n_docs"]),
@@ -370,6 +384,7 @@ def compact_indexes(
         # not the corpus (dirty_blocks / (copied+dirty) is the touched ratio)
         "copied_blocks": int(copied_blocks),
         "decoded_blocks": int(dirty_blocks),
+        "has_positions": has_pos,
         "segment_files": [
             {"file": f, "bytes": os.path.getsize(os.path.join(seg_path, f))}
             for f in sorted(os.listdir(seg_path))

