@@ -1023,6 +1023,50 @@ def q_bm25_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# phrase set for the fresh/LSM read path: ordinary corpus phrases plus one
+# ("zz refresh") that exists ONLY in the re-crawled generation's text — it
+# must surface the refreshed docs and nothing else
+_PHRASE_FRESH_QUERIES = [
+    (1, "merge sort"),
+    (2, "zz refresh"),
+    (3, "dup"),
+]
+
+
+@register(
+    "bm25_phrase_fresh",
+    bm25.bm25_phrase_oracle_sql(_PHRASE_FRESH_QUERIES, table=_FRESH_LOGICAL_CORPUS),
+)
+def q_bm25_phrase_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time generation merge for PHRASE search: base + re-crawl delta
+    positions answer exact-phrase queries over the logical corpus without
+    compaction (relational adjacency join over live occurrences). Reuses the
+    fresh fixture's generations + live map, adding positions tables."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase_fresh
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    fkey = f"fresh{key}"
+    if fkey not in _INDEX_CACHE:
+        q_bm25_fresh(spark, sf_dir)  # builds generations + live map
+    gens, live_dir = _INDEX_CACHE[fkey]
+    docs = _docs(spark, sf_dir)
+    from grenad_spark.index.build import IndexHandle
+
+    for p in gens:
+        if not IndexHandle(p).has_positions():
+            if p.endswith("gen0"):
+                build_positions(spark, docs.select("doc_id", "text"), p)
+            else:
+                recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+                    "doc_id", F.concat("text", F.lit(" zz refresh")).alias("text")
+                )
+                build_positions(spark, recrawl, p)
+    return search_topk_phrase_fresh(
+        spark, gens, _PHRASE_FRESH_QUERIES, k=10, live_dir=live_dir
+    )
+
+
 @register(
     "term_dict",
     "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
@@ -1160,13 +1204,14 @@ _DRIVER_GATE_ORDER = [
     # build stream + stats (Sorter input, partial+final agg)
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats", "postings",
     # reader/cursor family (point/seek/prefix/range, batched block descent)
-    "point_lookup", "seek_gte", "seek_lte", "seek_gte_batch",
+    "point_lookup", "seek_gte", "seek_gte_batch",
     "prefix_scan", "range_scan", "first_last_key",
     # BM25 serving paths (every engine mode + expansion + LSM read path)
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_wand_pruned",
     "bm25_topk_shared", "bm25_topk_shared_pruned", "bm25_topk_with_docs",
     "bm25_topk_prefix", "bm25_topk_fuzzy", "bm25_topk_fuzzy2",
     "bm25_topk_and", "bm25_topk_phrase", "bm25_fresh_generations",
+    "bm25_phrase_fresh",
     # index roundtrip + full Merger/compaction chains
     "term_dict", "term_dict_compacted", "term_dict_compacted_deletes",
     # MergeFunction surface
@@ -1190,10 +1235,12 @@ _DRIVER_GATE_ORDER = [
 ]
 
 _OVERFLOW_ORDER = [
-    # events_pivot demoted to fit bm25_topk_phrase in the 50-query gate
-    # window: its grouping machinery is the same agg as the gated events_cube
-    # (pivot is a fixed-column projection of it)
-    "events_pivot",
+    # events_pivot and seek_lte demoted to fit bm25_topk_phrase and
+    # bm25_phrase_fresh in the 50-query gate window: pivot's grouping
+    # machinery is the same agg as the gated events_cube (a fixed-column
+    # projection of it); seek_lte is the mirrored filter of the gated
+    # seek_gte (pure JVM filter+orderBy+limit, no engine kernel)
+    "events_pivot", "seek_lte",
     "bm25_topk", "curation_pipeline", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_redact_pii",

@@ -75,6 +75,74 @@ _SEGMENT_COLS = [
 ]
 
 
+_POSITION_COLS = [
+    "term", "shard", "block_id", "n", "first_doc", "last_doc",
+    "header", "positions",
+]
+
+
+def _split_copy_dirty(union, owners, copy_gens, merge_factor, cols):
+    """The copy-through split, shared by the segments and positions tables.
+
+    union must carry (gen, out_shard) beside `cols`. Returns
+    (copied_df | None, dirty_marked_df, marked_df, copy_cond): copied rows
+    pass through byte-identical (renumbered arithmetically for m:1 geometry
+    merges — metadata-only, payloads never decoded); everything else is
+    dirty and takes the decode path."""
+    marked = union.join(F.broadcast(owners), "out_shard", "left")
+    same_geom = [i for i in copy_gens if merge_factor[i] == 1]
+    multi_geom = [i for i in copy_gens if merge_factor[i] > 1]
+    if copy_gens:
+        copy_cond = (
+            F.col("owner_gen").isNotNull()
+            & (F.col("gen") == F.col("owner_gen"))
+            & F.col("gen").isin(copy_gens)
+        )
+        parts = []
+        if same_geom:
+            parts.append(
+                marked.filter(copy_cond & F.col("gen").isin(same_geom)).select(*cols)
+            )
+        if multi_geom:
+            # GEOMETRY-AWARE RENUMBER (the m > 1 case): gen shards m·k …
+            # m·k+m−1 merge into output shard k with doc ranges disjoint and
+            # ascending, so the only work is block-ID arithmetic —
+            # block_id' = block_id + Σ n_blocks(term, earlier sibling shard).
+            # Offsets come from a METADATA-only aggregate (count per
+            # (gen, term, shard) + a running sum over the tiny counts table);
+            # payloads are never decoded and never re-encoded. The offset
+            # join is hinted broadcast: the counts table is
+            # vocabulary × shards rows of three ints.
+            from pyspark.sql.window import Window
+
+            cm = marked.filter(copy_cond & F.col("gen").isin(multi_geom))
+            cnt = cm.groupBy("gen", "term", "out_shard", "shard").agg(
+                F.count("*").alias("nb")
+            )
+            w = Window.partitionBy("gen", "term", "out_shard").orderBy("shard")
+            off = cnt.select(
+                "gen", "term", "shard",
+                (F.sum("nb").over(w) - F.col("nb")).cast("int").alias("off"),
+            )
+            renum = cm.join(F.broadcast(off), ["gen", "term", "shard"]).select(
+                "term",
+                F.col("out_shard").alias("shard"),
+                (F.col("block_id") + F.col("off")).cast("int").alias("block_id"),
+                *[c for c in cols if c not in ("term", "shard", "block_id")],
+            ).select(*cols)
+            parts.append(renum)
+        copied = parts[0]
+        for p in parts[1:]:
+            copied = copied.unionByName(p)
+    else:
+        copy_cond = F.lit(False)
+        # no copy-eligible generation: don't even reference the v2-only
+        # columns (an all-pre-v2 input has no min_tf/max_dl to select)
+        copied = None
+    dirty_marked = marked.filter(~F.coalesce(copy_cond, F.lit(False)))
+    return copied, dirty_marked, marked, copy_cond
+
+
 def _make_decode_partition(codecs: list[str]):
     def fn(batches):
         return _decode_partition(batches, codecs)
@@ -239,61 +307,10 @@ def compact_indexes(
             "left_anti",
         )
 
-    marked = seg_union.join(F.broadcast(owners), "out_shard", "left")
-    same_geom = [i for i in copy_gens if merge_factor[i] == 1]
-    multi_geom = [i for i in copy_gens if merge_factor[i] > 1]
-    if copy_gens:
-        copy_cond = (
-            F.col("owner_gen").isNotNull()
-            & (F.col("gen") == F.col("owner_gen"))
-            & F.col("gen").isin(copy_gens)
-        )
-        parts = []
-        if same_geom:
-            parts.append(
-                marked.filter(copy_cond & F.col("gen").isin(same_geom)).select(
-                    *_SEGMENT_COLS
-                )
-            )
-        if multi_geom:
-            # GEOMETRY-AWARE RENUMBER (the m > 1 case): gen shards m·k …
-            # m·k+m−1 merge into output shard k with doc ranges disjoint and
-            # ascending, so the only work is block-ID arithmetic —
-            # block_id' = block_id + Σ n_blocks(term, earlier sibling shard).
-            # Offsets come from a METADATA-only aggregate (count per
-            # (gen, term, shard) + a running sum over the tiny counts table);
-            # payloads are never decoded and never re-encoded. The offset
-            # join is hinted broadcast: the counts table is
-            # vocabulary × shards rows of three ints.
-            from pyspark.sql.window import Window
-
-            cm = marked.filter(copy_cond & F.col("gen").isin(multi_geom))
-            cnt = cm.groupBy("gen", "term", "out_shard", "shard").agg(
-                F.count("*").alias("nb")
-            )
-            w = Window.partitionBy("gen", "term", "out_shard").orderBy("shard")
-            off = cnt.select(
-                "gen", "term", "shard",
-                (F.sum("nb").over(w) - F.col("nb")).cast("int").alias("off"),
-            )
-            renum = cm.join(F.broadcast(off), ["gen", "term", "shard"]).select(
-                "term",
-                F.col("out_shard").alias("shard"),
-                (F.col("block_id") + F.col("off")).cast("int").alias("block_id"),
-                *[c for c in _SEGMENT_COLS if c not in ("term", "shard", "block_id")],
-            ).select(*_SEGMENT_COLS)
-            parts.append(renum)
-        copied = parts[0]
-        for p in parts[1:]:
-            copied = copied.unionByName(p)
-    else:
-        copy_cond = F.lit(False)
-        # no copy-eligible generation: don't even reference the v2-only
-        # columns (an all-pre-v2 input has no min_tf/max_dl to select)
-        copied = None
-    dirty = marked.filter(~F.coalesce(copy_cond, F.lit(False))).select(
-        "term", "gen", "shard", "block_id", "n", "payload"
+    copied, dirty_marked, marked, copy_cond = _split_copy_dirty(
+        seg_union, owners, copy_gens, merge_factor, _SEGMENT_COLS
     )
+    dirty = dirty_marked.select("term", "gen", "shard", "block_id", "n", "payload")
     # ONE accounting job (payload pruned out of the aggregate scan) instead
     # of two separate counts re-running the ownership join
     counts = {
@@ -357,16 +374,59 @@ def compact_indexes(
 
     # positions sibling table: if EVERY generation carries one, the compacted
     # index does too — a pure LSM merge of the generations' position blocks
-    # (decode → newest-gen-wins per doc → re-encode), no re-tokenization.
-    # Mixed availability degrades to "no positions" (phrase serving would be
-    # silently wrong for the gap generations otherwise).
+    # (no re-tokenization) through the SAME copy-through split as segments:
+    # exclusively-owned clean shards pass through byte-identical (renumbered
+    # for m:1 geometry merges), only dirty shards decode → newest-gen-wins →
+    # re-encode. Mixed availability degrades to "no positions" (phrase
+    # serving would be silently wrong for the gap generations otherwise).
     has_pos = all(h.has_positions() for h in handles)
     if has_pos:
-        from grenad_spark.index.positions import compact_positions
+        from grenad_spark.index.positions import (
+            POSITIONS_SCHEMA,
+            _encode_positions_stream,
+            _make_decode_positions_partition,
+            _POS_DECODED_SCHEMA,
+        )
 
-        compact_positions(
-            spark, handles, live, out_dir, doc_space, n_shards,
-            partitions, out_codec,
+        pos_union = None
+        for i, h in enumerate(handles):
+            m = merge_factor.get(i)
+            p_out_shard = (
+                F.expr(f"CAST(shard DIV {int(m)} AS INT)")
+                if m
+                else F.lit(None).cast("int")
+            )
+            s = (
+                h.positions(spark)
+                .withColumn("gen", F.lit(i))
+                .withColumn("out_shard", p_out_shard)
+            )
+            pos_union = s if pos_union is None else pos_union.unionByName(s)
+        pcopied, pdirty_m, _pm, _pc = _split_copy_dirty(
+            pos_union, owners, copy_gens, merge_factor, _POSITION_COLS
+        )
+        pdecoded = pdirty_m.select(
+            "gen", "term", "n", "header", "positions"
+        ).mapInPandas(_make_decode_positions_partition(codecs), _POS_DECODED_SCHEMA)
+        plivetoks = (
+            pdecoded.join(live, "doc_id")
+            .filter(F.col("gen") == F.col("live_gen"))
+            .select("term", "doc_id", "dl", "pos")
+            .withColumn("shard", shard_of("doc_id"))
+        )
+        prebuilt = (
+            plivetoks.repartition(partitions, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id", "pos")
+            .mapInPandas(
+                lambda it: _encode_positions_stream(it, out_codec), POSITIONS_SCHEMA
+            )
+        )
+        pos_all = prebuilt.unionByName(pcopied) if pcopied is not None else prebuilt
+        (
+            pos_all.repartitionByRange(partitions, "term", "shard", "block_id")
+            .sortWithinPartitions("term", "shard", "block_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "positions"))
         )
 
     manifest = {

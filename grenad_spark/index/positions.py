@@ -287,55 +287,3 @@ def _make_decode_positions_partition(codecs: list[str]):
                 yield pd.concat(parts, ignore_index=True)
 
     return fn
-
-
-def compact_positions(
-    spark: SparkSession,
-    handles: list,
-    live: DataFrame,
-    out_dir: str,
-    doc_space: int,
-    n_shards: int,
-    partitions: int,
-    out_codec: str,
-    compression: str = "zstd",
-) -> None:
-    """Merge N generations' positions tables, newest-generation-wins per doc
-    (a re-crawled doc's whole position stream comes from its newest
-    generation — positions are per (term, doc), so doc-level tombstones are
-    exact). Pure LSM merge: decodes the generations' blocks, NEVER
-    re-tokenizes text. Dirty-path only for now — the copy-through split of
-    the segments compaction applies structurally but is not wired here
-    (tracked in SCALE.md)."""
-    union = None
-    for i, h in enumerate(handles):
-        s = h.positions(spark).select("term", "n", "header", "positions").withColumn(
-            "gen", F.lit(i)
-        )
-        union = s if union is None else union.unionByName(s)
-    decoded = union.mapInPandas(
-        _make_decode_positions_partition([h.payload_codec for h in handles]),
-        _POS_DECODED_SCHEMA,
-    )
-    livetoks = (
-        decoded.join(live, "doc_id")
-        .filter(F.col("gen") == F.col("live_gen"))
-        .select("term", "doc_id", "dl", "pos")
-        .withColumn(
-            "shard",
-            F.expr(
-                f"CAST((doc_id * CAST({int(n_shards)} AS BIGINT)) DIV "
-                f"CAST({int(doc_space)} AS BIGINT) AS INT)"
-            ),
-        )
-    )
-    (
-        livetoks.repartition(partitions, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id", "pos")
-        .mapInPandas(
-            lambda it: _encode_positions_stream(it, out_codec), POSITIONS_SCHEMA
-        )
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(os.path.join(out_dir, "positions"))
-    )

@@ -356,7 +356,9 @@ SELECT query_id, doc_id, score FROM (
 
 
 def bm25_phrase_oracle_sql(
-    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K
+    queries: list[tuple[int, str]] | None = None,
+    k: int = DEFAULT_K,
+    table: str = "documents",
 ) -> str:
     """DuckDB oracle for exact-phrase BM25: a doc matches iff the phrase's
     tokens appear ADJACENTLY in order in its token stream; matches rank by
@@ -375,11 +377,11 @@ def bm25_phrase_oracle_sql(
     norm = [(qid, p) for qid, p in norm if p]
     rows = ", ".join(f"({qid}, '{p}')" for qid, p in norm)
     return f"""
-WITH tdt AS ({sql_term_doc_tf('documents')}),
+WITH tdt AS ({sql_term_doc_tf(table)}),
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
-  FROM documents
+  FROM {table}
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
 cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),

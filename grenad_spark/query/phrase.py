@@ -536,3 +536,119 @@ SELECT query_id, doc_id, proximity, score FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# fresh phrase — query-time generation merge for the positional index
+# ---------------------------------------------------------------------------
+
+def search_topk_phrase_fresh(
+    spark: SparkSession,
+    index_paths_or_handles: list,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    live_dir: str | None = None,
+) -> DataFrame:
+    """Exact-phrase top-k over the LOGICAL corpus of unmerged generation
+    indexes (base + crawl deltas), newest generation per doc winning —
+    search_topk_fresh's LSM read path for the positional table. Dataflow:
+    per-generation In(term)-pruned positions scan → vectorized occurrence
+    decode (per-gen codec) → doc-level tombstone filter via the live map →
+    RELATIONAL adjacency match (an m-way equi-join on (doc_id, pos − i),
+    Catalyst-planned — at web scale each join side is one term's live
+    occurrences, already pruned to the phrase terms) → BM25 over distinct
+    phrase terms with LIVE corpus stats. live_dir as in search_topk_fresh
+    (persisted map, retry-once, inline fallback)."""
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.index.positions import (
+        _make_decode_positions_partition,
+        _POS_DECODED_SCHEMA,
+    )
+    from grenad_spark.query.bm25 import score_expr
+    from grenad_spark.query.search import _resolve_live
+
+    handles = [
+        h if isinstance(h, IndexHandle) else IndexHandle(h)
+        for h in index_paths_or_handles
+    ]
+    paths = [
+        h if not isinstance(h, IndexHandle) else h.path
+        for h in index_paths_or_handles
+    ]
+    phrases = _tokenize_phrases(queries)
+    phrases = {q: t for q, t in phrases.items() if t}
+    if not phrases:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    terms = sorted({t for toks in phrases.values() for t in toks})
+    codecs = [h.payload_codec for h in handles]
+
+    pos_union = None
+    for i, h in enumerate(handles):
+        s = (
+            h.positions(spark)
+            .filter(F.col("term").isin(terms))
+            .select("term", "n", "header", "positions")
+            .withColumn("gen", F.lit(i))
+        )
+        pos_union = s if pos_union is None else pos_union.unionByName(s)
+
+    resolved = _resolve_live(spark, handles, paths, live_dir)
+    if resolved is None:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    live, n_docs, avgdl = resolved
+
+    decoded = pos_union.mapInPandas(
+        _make_decode_positions_partition(codecs), _POS_DECODED_SCHEMA
+    )
+    livetoks = (
+        decoded.join(live, "doc_id")
+        .filter(F.col("gen") == F.col("live_gen"))
+        .select("term", "doc_id", "dl", "pos")
+    )
+
+    # adjacency match per query: occurrences of t_0 at p surviving an
+    # equi-join chain against t_i at p + i. OOV terms need no special case —
+    # their join side is empty and the query yields no rows.
+    matches = None
+    for qid, toks in phrases.items():
+        m = livetoks.filter(F.col("term") == toks[0]).select("doc_id", "pos")
+        for i, t in enumerate(toks[1:], 1):
+            m = m.join(
+                livetoks.filter(F.col("term") == t).select(
+                    "doc_id", (F.col("pos") - i).alias("pos")
+                ),
+                ["doc_id", "pos"],
+            )
+        mq = m.select(F.lit(qid).cast("int").alias("query_id"), "doc_id").distinct()
+        matches = mq if matches is None else matches.unionByName(mq)
+
+    tdt = livetoks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl")
+    )
+    ts = tdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qt_rows = sorted(
+        {(qid, t) for qid, toks in phrases.items() for t in set(toks)}
+    )
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    per_term = (
+        tdt.join(F.broadcast(qt), "term")
+        .join(F.broadcast(ts), "term")
+        .join(matches, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            "doc_id",
+            score_expr(
+                F.col("tf").cast("double"), F.col("df"),
+                F.col("dl").cast("double"), n_docs, avgdl,
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )

@@ -1081,6 +1081,75 @@ def _prune_one_query(
 
 
 
+def _resolve_live(
+    spark: SparkSession, handles: list, paths: list, live_dir: str | None
+) -> tuple[DataFrame, float, float] | None:
+    """(doc_id → live_gen map, live n_docs, live avgdl) for a generation
+    list — from the persisted live map when live_dir is given (retry-once +
+    inline-derivation fallback on the documented unreadable windows), else
+    derived inline from the membership tables. None ⇒ the live corpus is
+    empty (serve an empty result)."""
+    live = None
+    n_docs = avgdl = 0.0
+    if live_dir is not None:
+        from grenad_spark.index.live import read_live_map
+
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - very old pyspark
+            from pyspark.sql.utils import AnalysisException
+
+        for attempt in range(2):
+            try:
+                live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
+                break
+            except (ValueError, FileNotFoundError, OSError, AnalysisException) as exc:
+                # unreadable-map window: the live map is REWRITTEN in place
+                # (directory overwrite — seconds, not an atomic rename), so a
+                # concurrent reader can see a missing dir (AnalysisException
+                # from the parquet reader), a missing/partial live_docs
+                # (_SUCCESS guard in read_live_map), or a stale generation
+                # set (ValueError). Retry once, then fall back to the inline
+                # derivation below, which is always correct for THIS caller's
+                # generation list (just pays the membership aggregate).
+                if attempt == 0:
+                    import time as _time
+
+                    _time.sleep(0.05)
+                    continue
+                import warnings
+
+                warnings.warn(
+                    f"live map at {live_dir} unreadable ({exc}); serving this "
+                    f"batch via inline membership derivation",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        if live is not None and n_docs == 0:
+            return None
+    if live is None:
+        docs_union = None
+        for i, h in enumerate(handles):
+            d = h.docs(spark).withColumn("gen", F.lit(i))
+            docs_union = d if docs_union is None else docs_union.unionByName(d)
+        live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
+        live_docs = (
+            docs_union.join(live, "doc_id")
+            .filter(F.col("gen") == F.col("live_gen"))
+            .select("doc_id", "dl")
+        )
+        st = live_docs.agg(
+            F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
+        ).first()
+        # all generations empty / every doc tombstoned: avg(dl) is NULL —
+        # return empty like the other search paths
+        # (test_out_of_vocabulary_edges contract)
+        if not st["n"] or st["a"] is None:
+            return None
+        n_docs, avgdl = float(st["n"]), float(st["a"])
+    return live, n_docs, avgdl
+
+
 def search_topk_fresh(
     spark: SparkSession,
     index_paths_or_handles: list,
@@ -1140,63 +1209,10 @@ def search_topk_fresh(
         )
         seg_union = s if seg_union is None else seg_union.unionByName(s)
 
-    live = None
-    if live_dir is not None:
-        from grenad_spark.index.live import read_live_map
-
-        try:
-            from pyspark.errors import AnalysisException
-        except ImportError:  # pragma: no cover - very old pyspark
-            from pyspark.sql.utils import AnalysisException
-
-        for attempt in range(2):
-            try:
-                live, n_docs, avgdl = read_live_map(spark, live_dir, paths)
-                break
-            except (ValueError, FileNotFoundError, OSError, AnalysisException) as exc:
-                # unreadable-map window: the live map is REWRITTEN in place
-                # (directory overwrite — seconds, not an atomic rename), so a
-                # concurrent reader can see a missing dir (AnalysisException
-                # from the parquet reader), a missing/partial live_docs
-                # (_SUCCESS guard in read_live_map), or a stale generation
-                # set (ValueError). Retry once, then fall back to the inline
-                # derivation below, which is always correct for THIS caller's
-                # generation list (just pays the membership aggregate).
-                if attempt == 0:
-                    import time as _time
-
-                    _time.sleep(0.05)
-                    continue
-                import warnings
-
-                warnings.warn(
-                    f"live map at {live_dir} unreadable ({exc}); serving this "
-                    f"batch via inline membership derivation",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-        if live is not None and n_docs == 0:
-            return spark.createDataFrame([], _OUT_SCHEMA)
-    if live is None:
-        docs_union = None
-        for i, h in enumerate(handles):
-            d = h.docs(spark).withColumn("gen", F.lit(i))
-            docs_union = d if docs_union is None else docs_union.unionByName(d)
-        live = docs_union.groupBy("doc_id").agg(F.max("gen").alias("live_gen"))
-        live_docs = (
-            docs_union.join(live, "doc_id")
-            .filter(F.col("gen") == F.col("live_gen"))
-            .select("doc_id", "dl")
-        )
-        st = live_docs.agg(
-            F.count("*").cast("double").alias("n"), F.avg("dl").alias("a")
-        ).first()
-        # all generations empty / every doc tombstoned: avg(dl) is NULL —
-        # return empty like the other search paths
-        # (test_out_of_vocabulary_edges contract)
-        if not st["n"] or st["a"] is None:
-            return spark.createDataFrame([], _OUT_SCHEMA)
-        n_docs, avgdl = float(st["n"]), float(st["a"])
+    resolved = _resolve_live(spark, handles, paths, live_dir)
+    if resolved is None:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    live, n_docs, avgdl = resolved
 
     decoded = seg_union.mapInPandas(_make_decode_partition(codecs), _DECODED_SCHEMA)
     tdt = (

@@ -324,3 +324,77 @@ def test_phrase_after_compaction_equals_direct_build(spark, tmp_path):
     assert pa == pb
     # the deleted doc must not match anything
     assert all(r[1] != 57 for r in a)
+
+
+def test_positions_copy_through_on_clean_reshard(spark, tmp_path):
+    """A clean m:1 reshard compaction must COPY the position blocks
+    byte-identically (renumbered, never decoded): the merged positions
+    payload multiset equals the source generation's, and phrase results
+    match a direct build at the output geometry."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase
+
+    rng = np.random.default_rng(23)
+    rows = _mk_corpus(rng, 200)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "g4")
+    build_index(spark, docs, src, n_shards=4)
+    build_positions(spark, docs, src)
+    merged = compact_indexes(spark, [src], str(tmp_path / "resh2"), n_shards=2)
+    assert merged.manifest["decoded_blocks"] == 0
+    assert merged.has_positions()
+
+    src_pay = sorted(
+        (r.term, bytes(r.header), bytes(r.positions))
+        for r in spark.read.parquet(f"{src}/positions").collect()
+    )
+    out_pay = sorted(
+        (r.term, bytes(r.header), bytes(r.positions))
+        for r in merged.positions(spark).collect()
+    )
+    assert src_pay == out_pay  # byte-identical payloads, only ids renumbered
+
+    direct_dir = str(tmp_path / "d2")
+    direct = build_index(spark, docs, direct_dir, n_shards=2)
+    build_positions(spark, docs, direct_dir)
+    qs = [(1, "alpha beta"), (2, "zeta"), (3, "gamma delta eps")]
+    a = sorted(map(tuple, search_topk_phrase(spark, merged, qs, k=10**6).collect()))
+    b = sorted(map(tuple, search_topk_phrase(spark, direct, qs, k=10**6).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_phrase_fresh_equals_compacted(spark, tmp_path):
+    """Query-time generation merge for phrase: base + delta (with positions)
+    must answer phrase queries identically to the compacted index — and a
+    delta-only phrase ('omega omega2') must surface ONLY refreshed docs."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase, search_topk_phrase_fresh
+
+    rng = np.random.default_rng(31)
+    base_rows = _mk_corpus(rng, 100)
+    delta_rows = [
+        (i, t + " omega omega2") for i, t in base_rows if i % 4 == 0
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    g0, g1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    build_index(spark, base, g0, n_shards=3)
+    build_positions(spark, base, g0)
+    build_index(spark, delta, g1, n_shards=3)
+    build_positions(spark, delta, g1)
+
+    qs = [(1, "alpha beta"), (2, "omega omega2"), (3, "zeta")]
+    fresh = sorted(map(tuple, search_topk_phrase_fresh(
+        spark, [g0, g1], qs, k=10**6).collect()))
+
+    merged = compact_indexes(spark, [g0, g1], str(tmp_path / "m"))
+    compacted = sorted(map(tuple, search_topk_phrase(
+        spark, merged, qs, k=10**6).collect()))
+    assert fresh == compacted and len(fresh) > 0
+    # the delta-only phrase matches exactly the refreshed docs
+    omega_docs = {r[1] for r in fresh if r[0] == 2}
+    assert omega_docs == {i for i, _ in delta_rows}
