@@ -864,6 +864,38 @@ def q_facet_numeric_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 from grenad_spark.query.phrase import sql_phrase_snippets as _sql_phrase_snippets  # noqa: E402
 
 
+@register(
+    "bm25_topk_sorted_attr",
+    bm25.bm25_sorted_oracle_sql(bm25.AND_QUERIES, "n_chars"),
+)
+def q_bm25_sorted_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortable-attribute serving (Meilisearch sort rule): conjunctive
+    matches ranked by a document attribute (n_chars DESC) instead of
+    relevance; served from Meilisearch's facet_id_f64_docids grenad DB in
+    the reference stack, here from the documents table joined doc-keyed."""
+    from grenad_spark.query.search import search_topk_sorted
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_sorted(
+        spark, idx, _docs(spark, sf_dir), bm25.AND_QUERIES, "n_chars", k=10
+    )
+
+
+@register(
+    "bm25_topk_distinct_attr",
+    bm25.bm25_distinct_attr_oracle_sql(bm25.AND_QUERIES, "lang"),
+)
+def q_bm25_distinct_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-attribute serving (Meilisearch distinctAttribute): at most
+    one result per attribute value (best score wins), then global top-k."""
+    from grenad_spark.query.search import search_topk_distinct_attr
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_distinct_attr(
+        spark, idx, _docs(spark, sf_dir), bm25.AND_QUERIES, "lang", k=10
+    )
+
+
 from grenad_spark.query.phrase import sql_proximity_topk as _sql_prox  # noqa: E402
 
 
@@ -1246,6 +1278,7 @@ _OVERFLOW_ORDER = [
     "text_fingerprint", "text_redact_pii",
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
     "bm25_topk_proximity", "bm25_topk_phrase_snippets",
+    "bm25_topk_sorted_attr", "bm25_topk_distinct_attr",
     "media_features", "media_metadata", "media_resize", "media_frames",
 ]
 

@@ -720,6 +720,28 @@ class IndexHandle:
 
         return search_topk_proximity(spark, self, queries, k=k)
 
+    def search_sorted(
+        self, spark: SparkSession, docs: DataFrame, queries, sort_col: str,
+        k: int = 10, ascending: bool = False,
+    ) -> DataFrame:
+        """Sortable-attribute serving: conjunctive matches ranked by a
+        document attribute (Meilisearch sort rule)."""
+        from grenad_spark.query.search import search_topk_sorted
+
+        return search_topk_sorted(
+            spark, self, docs, queries, sort_col, k=k, ascending=ascending
+        )
+
+    def search_distinct(
+        self, spark: SparkSession, docs: DataFrame, queries, distinct_col: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Distinct-attribute serving: one best result per attribute value
+        (Meilisearch distinctAttribute)."""
+        from grenad_spark.query.search import search_topk_distinct_attr
+
+        return search_topk_distinct_attr(spark, self, docs, queries, distinct_col, k=k)
+
     def seek_gte(self, spark: SparkSession, keys) -> DataFrame:
         """Batched posting-level gte-seeks [(seek_id, term, target_doc)]."""
         from grenad_spark.operators.seek import seek_gte_postings

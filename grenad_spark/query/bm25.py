@@ -412,3 +412,73 @@ SELECT query_id, doc_id, score FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+_AND_MATCHES_CTES = f"""
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+    FROM {{queries_values}}
+  ) WHERE term <> ''
+),
+qn AS (SELECT query_id, count(*)::INT AS n_terms FROM qt GROUP BY query_id),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score,
+         count(DISTINCT tdt.term)::INT AS hit_terms
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+),
+matches AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qn ON s.query_id = qn.query_id AND s.hit_terms = qn.n_terms
+)
+"""
+
+
+def bm25_sorted_oracle_sql(
+    queries: list[tuple[int, str]], sort_col: str, k: int = DEFAULT_K,
+    ascending: bool = False,
+) -> str:
+    """DuckDB oracle for search_topk_sorted: conjunctive matches ranked by a
+    document attribute (sortable-attribute serving)."""
+    order = "ASC" if ascending else "DESC"
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+{_AND_MATCHES_CTES.format(queries_values=sql_queries_values(queries)).strip()}
+SELECT query_id, doc_id, {sort_col}, score FROM (
+  SELECT m.query_id, m.doc_id, d.{sort_col}, m.score,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.{sort_col} {order}, m.doc_id ASC) AS rn
+  FROM matches m JOIN documents d USING (doc_id)
+) WHERE rn <= {k}
+"""
+
+
+def bm25_distinct_attr_oracle_sql(
+    queries: list[tuple[int, str]], distinct_col: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB oracle for search_topk_distinct_attr: best doc per attribute
+    value, then global top-k (distinct-attribute serving)."""
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+{_AND_MATCHES_CTES.format(queries_values=sql_queries_values(queries)).strip()},
+attrd AS (
+  SELECT m.query_id, m.doc_id, d.{distinct_col}, m.score,
+         row_number() OVER (PARTITION BY m.query_id, d.{distinct_col}
+                            ORDER BY m.score DESC, m.doc_id ASC) AS grn
+  FROM matches m JOIN documents d USING (doc_id)
+)
+SELECT query_id, doc_id, {distinct_col}, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM attrd WHERE grn = 1
+) WHERE rn <= {k}
+"""

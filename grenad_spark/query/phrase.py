@@ -65,10 +65,15 @@ def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str)
         )
         qid = int(pdf["query_id"].iloc[0])
         toks = phrases[qid]
-        # decode each distinct term once
+        # decode each distinct term once. Sort blocks by first_doc WITHIN the
+        # term: multi-file parquet scans scramble row order, and the packed
+        # (doc, pos) keys below must be globally sorted for searchsorted /
+        # intersect1d (blocks are doc-range disjoint, so first_doc order IS
+        # global doc order — the same discipline as the WAND kernels).
         decoded: dict[str, tuple] = {}
         idfs: dict[str, float] = {}
         for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            g = g.sort_values("first_doc", kind="stable")
             decoded[term] = decode_position_blocks(
                 list(g["header"]), list(g["positions"]), g["n"].to_numpy(), codec
             )
@@ -177,7 +182,7 @@ def search_topk_phrase(
         )
         blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "header", "positions"
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_phrase_kernel(phrases, avgdl, codec), _OUT_SCHEMA
     )
@@ -358,6 +363,9 @@ def _make_proximity_kernel(phrases: dict[int, list[str]], avgdl: float, codec: s
         decoded: dict[str, tuple] = {}
         idfs: dict[str, float] = {}
         for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            # first_doc order = global doc order (doc-range-disjoint blocks);
+            # required by every searchsorted/intersect1d below
+            g = g.sort_values("first_doc", kind="stable")
             decoded[term] = decode_position_blocks(
                 list(g["header"]), list(g["positions"]), g["n"].to_numpy(), codec
             )
@@ -442,7 +450,7 @@ def search_topk_proximity(
             .withColumn("idf", _idf(n_docs, F.col("df")))
         )
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "header", "positions"
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_proximity_kernel(phrases, avgdl, codec), _PROX_OUT_SCHEMA
     )

@@ -344,22 +344,21 @@ def search_topk_fuzzy(
     return _search_from_pairs(spark, index, pairs, k, mode)
 
 
-def search_conjunctive(
+def conjunctive_matches(
     spark: SparkSession,
     index: IndexHandle,
     queries: list[tuple[int, str]],
-    k: int = 10,
 ) -> DataFrame:
-    """AND semantics: only docs containing EVERY query term rank (the
-    posting-list intersection of SURVEY §2.7; relationally a semi-join chain,
-    here one aggregate with a term-count filter)."""
+    """The FULL conjunctive match set (query_id, doc_id, score), unranked:
+    docs containing EVERY query term with their BM25 scores (rounded). The
+    building block under AND search and the attribute-ranked /
+    distinct-attribute serving variants."""
     pairs = _tokenize_queries(queries)
     n_terms = {}
     for qid, _ in pairs:
         n_terms[qid] = n_terms.get(qid, 0) + 1
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     avgdl = float(index.avgdl)
-    kk = int(k)
     codec = index.payload_codec
     nt = spark.createDataFrame(list(n_terms.items()), "query_id int, n_terms int")
 
@@ -369,14 +368,85 @@ def search_conjunctive(
     ).groupBy("query_id", "shard").applyInPandas(
         _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.join(F.broadcast(nt), "query_id")
         .filter(F.col("hit_terms") == F.col("n_terms"))
         .withColumn("score", F.round("score", SCORE_DECIMALS))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= kk)
         .select("query_id", "doc_id", "score")
+    )
+
+
+def search_conjunctive(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """AND semantics: only docs containing EVERY query term rank (the
+    posting-list intersection of SURVEY §2.7; relationally a semi-join chain,
+    here one aggregate with a term-count filter)."""
+    matches = conjunctive_matches(spark, index, queries)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def search_topk_sorted(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """Meilisearch SORTABLE-ATTRIBUTE serving: conjunctive matches ranked by
+    a document attribute (sort_col) instead of relevance; BM25 score rides
+    along, doc_id breaks ties. (query_id, doc_id, <sort_col>, score).
+
+    Scale: the attribute join is doc_id-keyed against the documents table
+    (co-partitionable; AQE broadcasts the match side when a rare query makes
+    it small); ranking is the standard per-query window. Meilisearch serves
+    this from its facet_id_f64_docids grenad database — here the attribute
+    lives in the documents table and the match set comes from the index."""
+    matches = conjunctive_matches(spark, index, queries)
+    j = matches.join(docs.select("doc_id", sort_col), "doc_id")
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    w = Window.partitionBy("query_id").orderBy(key, F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", sort_col, "score")
+    )
+
+
+def search_topk_distinct_attr(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    distinct_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Meilisearch DISTINCT-ATTRIBUTE serving: at most ONE result per
+    distinct_col value — the best-scoring doc of each group — then the
+    global top-k by score. (query_id, doc_id, <distinct_col>, score).
+    Two windows: rank-1 per (query, attribute-value), then the per-query
+    top-k; both partition-pruned by query_id."""
+    matches = conjunctive_matches(spark, index, queries)
+    j = matches.join(docs.select("doc_id", distinct_col), "doc_id")
+    w_grp = Window.partitionBy("query_id", distinct_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = j.withColumn("grn", F.row_number().over(w_grp)).filter(F.col("grn") == 1)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", distinct_col, "score")
     )
 
 

@@ -48,10 +48,17 @@ def incremental_index_stream(
     checkpoint_dir: str,
     n_shards: int = 4,
     max_generations: int = MAX_GENERATIONS,
+    with_positions: bool = False,
 ):
     """Start (availableNow) a stream that turns each micro-batch of docs into
     a generation index; auto-compacts when generations pile up. Returns the
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination).
+
+    with_positions: each generation also gets its positional table
+    (index/positions.py), so phrase/proximity serving works over the live
+    generation set (search_topk_phrase_fresh) and through auto-compaction
+    (compact_indexes merges positions whenever every input generation
+    carries them)."""
     os.makedirs(index_root, exist_ok=True)
 
     live_dir = os.path.join(index_root, "_live")
@@ -106,6 +113,10 @@ def incremental_index_stream(
         build_index(
             batch_df.sparkSession, batch_df, out, n_shards=n_shards, overwrite=True
         )
+        if with_positions:
+            from grenad_spark.index.positions import build_positions
+
+            build_positions(batch_df.sparkSession, batch_df, out)
         gens = generation_paths(index_root)
         if len(gens) < max_generations:
             # not compacting this batch: fold the new generation in now.

@@ -381,3 +381,65 @@ def test_compacted_index_serves_fuzzy2_and_resumed_build_upgrades(
     assert idx.term_deletes(spark) is None or True  # handle may be cached
     idx2 = build_index(spark, docs_small.select("doc_id", "text"), src, n_shards=2)
     assert idx2.term_deletes(spark) is not None
+
+
+def test_streaming_incremental_with_positions(spark, docs_small, tmp_path):
+    """with_positions=True: every streamed generation carries a positional
+    table, fresh PHRASE search serves over the live generation set, and
+    auto-compaction merges positions (all generations have them)."""
+    from grenad_spark.query.phrase import search_topk_phrase, search_topk_phrase_fresh
+    from grenad_spark.streaming.incremental import (
+        generation_paths,
+        incremental_index_stream,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        (
+            docs_small.filter(F.col("doc_id") % 3 == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(f"{stream_dir}/part{i}")
+        )
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/part*/part-*.parquet"))):
+        shutil.move(f, f"{stream_dir}/batch{i}.parquet")
+    for i in range(3):
+        shutil.rmtree(f"{stream_dir}/part{i}")
+
+    index_root = str(tmp_path / "idx")
+    q = incremental_index_stream(
+        spark, stream_dir, index_root, str(tmp_path / "ckpt"), n_shards=2,
+        with_positions=True,
+    )
+    q.awaitTermination(180)
+    gens = generation_paths(index_root)
+    assert len(gens) == 3
+    from grenad_spark.index.build import IndexHandle
+
+    assert all(IndexHandle(g).has_positions() for g in gens)
+
+    qs = [(1, "merge sort"), (2, "the fast"), (3, "dup")]
+    fresh = sorted(map(tuple, search_topk_phrase_fresh(
+        spark, gens, qs, k=10, live_dir=os.path.join(index_root, "_live")
+    ).collect()))
+    # a direct positional build over the full corpus is the ground truth
+    mono_dir = str(tmp_path / "monop")
+    mono = build_index(spark, docs_small.select("doc_id", "text"), mono_dir, n_shards=2)
+    from grenad_spark.index.positions import build_positions
+
+    build_positions(spark, docs_small.select("doc_id", "text"), mono_dir)
+    direct = sorted(map(tuple, search_topk_phrase(spark, mono, qs, k=10).collect()))
+    assert fresh == direct and len(fresh) > 0
+
+    # auto-compaction path: force a compaction over the 3 generations and
+    # verify the merged positions serve identically
+    from grenad_spark.index.compact import compact_indexes
+
+    merged = compact_indexes(spark, gens, str(tmp_path / "cp"))
+    assert merged.has_positions()
+    comp = sorted(map(tuple, search_topk_phrase(spark, merged, qs, k=10).collect()))
+    assert comp == direct

