@@ -864,6 +864,38 @@ def q_facet_numeric_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 from grenad_spark.query.phrase import sql_phrase_snippets as _sql_phrase_snippets  # noqa: E402
 
 
+# Reader::len at the whole-index level (src/reader/mod.rs:62-105): the
+# persisted index's structural totals must equal what the block-segmentation
+# arithmetic predicts from the raw corpus — vocabulary size, posting count,
+# and ceil(df_shard / block_size) summed over (term, shard) groups with the
+# build's integer-DIV shard function. A strong roundtrip gate: any drift in
+# sharding or block splitting shows up here as a count mismatch.
+_INDEX_STATS_ORACLE = f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+ds AS (SELECT max(doc_id) + 1 AS space FROM documents),
+per AS (
+  SELECT term, CAST((doc_id * 4) // space AS INT) AS shard,
+         count(*)::BIGINT AS df_shard
+  FROM tdt CROSS JOIN ds GROUP BY 1, 2
+)
+SELECT count(DISTINCT term)::BIGINT AS n_terms,
+       sum(df_shard)::BIGINT AS n_postings,
+       sum(CAST(ceil(df_shard / 128.0) AS BIGINT))::BIGINT AS n_blocks
+FROM per
+"""
+
+
+@register("index_stats", _INDEX_STATS_ORACLE)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_or_get_index(spark, sf_dir)
+    seg = idx.segments(spark)
+    return seg.agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+
+
 @register(
     "bm25_topk_sorted_attr",
     bm25.bm25_sorted_oracle_sql(bm25.AND_QUERIES, "n_chars"),
@@ -896,7 +928,33 @@ def q_bm25_distinct_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from grenad_spark.query.phrase import sql_mixed_topk as _sql_mixed  # noqa: E402
 from grenad_spark.query.phrase import sql_proximity_topk as _sql_prox  # noqa: E402
+
+# mixed query strings — the Meilisearch query language: double-quoted
+# phrases are hard constraints, free terms rank; includes a two-phrase
+# query, a phrase-free (plain disjunctive) query, and an OOV phrase
+_MIXED_QUERIES = [
+    (1, 'dup "merge sort"'),
+    (2, '"the fast" stream'),
+    (3, '"key value" "data batch"'),
+    (4, "spark window"),
+    (5, '"zzznope phrase" dup'),
+]
+
+
+@register("bm25_topk_mixed", _sql_mixed(_MIXED_QUERIES))
+def q_bm25_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed query strings (free terms + quoted phrase constraints) served
+    from the positional table alone — its block headers are full posting
+    blocks, so free-term BM25 needs no second scan."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_mixed
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_mixed(spark, idx, _MIXED_QUERIES, k=10)
 
 
 @register("bm25_topk_proximity", _sql_prox(bm25.PROX_QUERIES))
@@ -1278,7 +1336,8 @@ _OVERFLOW_ORDER = [
     "text_fingerprint", "text_redact_pii",
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
     "bm25_topk_proximity", "bm25_topk_phrase_snippets",
-    "bm25_topk_sorted_attr", "bm25_topk_distinct_attr",
+    "bm25_topk_sorted_attr", "bm25_topk_distinct_attr", "index_stats",
+    "bm25_topk_mixed",
     "media_features", "media_metadata", "media_resize", "media_frames",
 ]
 

@@ -660,3 +660,220 @@ def search_topk_phrase_fresh(
         .filter(F.col("rn") <= int(k))
         .select("query_id", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed queries — free terms + quoted phrases (the Meilisearch query string:
+# `dup "merge sort"` = phrase CONSTRAINT + relevance over ALL terms)
+# ---------------------------------------------------------------------------
+
+def parse_mixed_query(q: str) -> tuple[list[list[str]], list[str]]:
+    """(phrases, free_terms): double-quoted segments become phrase token
+    lists (hard constraints); the rest tokenizes to free terms."""
+    import re
+
+    phrases = [
+        [t for t in re.split(TOKEN_SPLIT_RE, p.lower()) if t]
+        for p in re.findall(r'"([^"]*)"', q)
+    ]
+    phrases = [p for p in phrases if p]
+    rest = re.sub(r'"[^"]*"', " ", q)
+    free = [t for t in re.split(TOKEN_SPLIT_RE, rest.lower()) if t]
+    return phrases, free
+
+
+def _make_mixed_kernel(parsed: dict[int, tuple], avgdl: float, codec: str):
+    """parsed: qid -> (phrases, free_terms). Matched docs = docs containing
+    EVERY phrase (offset-chain per phrase, intersected); a query with no
+    phrases matches any doc holding ≥1 query term (plain disjunctive BM25).
+    Score = Σ over ALL distinct query terms present in the doc."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        phrases_q, free_q = parsed[qid]
+        decoded: dict[str, tuple] = {}
+        idfs: dict[str, float] = {}
+        for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            g = g.sort_values("first_doc", kind="stable")
+            decoded[term] = decode_position_blocks(
+                list(g["header"]), list(g["positions"]), g["n"].to_numpy(), codec
+            )
+            idfs[term] = float(idf)
+        matched = None
+        for toks in phrases_q:
+            if any(t not in decoded for t in toks):
+                return empty  # a phrase term absent here => no match in shard
+            keys = None
+            for i, t in enumerate(toks):
+                d, tf, _dl, pos, _occ = decoded[t]
+                dk = np.repeat(d, tf) << np.int64(POS_BITS)
+                adj = pos - i
+                kk = (dk + adj)[adj >= 0]
+                keys = kk if keys is None else np.intersect1d(keys, kk)
+                if keys.size == 0:
+                    return empty
+            pm = np.unique(keys >> np.int64(POS_BITS))
+            matched = pm if matched is None else np.intersect1d(
+                matched, pm, assume_unique=True
+            )
+            if matched.size == 0:
+                return empty
+        all_terms = sorted(
+            {t for toks in phrases_q for t in toks} | set(free_q)
+        )
+        present = [t for t in all_terms if t in decoded]
+        if matched is None:
+            # no phrase constraint: disjunctive — union of term doc sets
+            if not present:
+                return empty
+            matched = np.unique(np.concatenate([decoded[t][0] for t in present]))
+        if matched.size == 0 or not present:
+            return empty
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in present:
+            d, tf, dl, _pos, _occ = decoded[t]
+            sel = np.minimum(np.searchsorted(d, matched), d.size - 1)
+            hit = d[sel] == matched  # free terms may be absent from a doc
+            if hit.any():
+                scores[hit] += idfs[t] * _tfpart(
+                    tf[sel[hit]].astype(np.float64),
+                    dl[sel[hit]].astype(np.float64),
+                    avgdl,
+                )
+        return pd.DataFrame({"query_id": qid, "doc_id": matched, "score": scores})
+
+    return fn
+
+
+def search_topk_mixed(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for mixed query strings — free terms + double-quoted phrases.
+    Quoted phrases are hard constraints (every phrase must appear, token-
+    adjacent); relevance is BM25 over ALL distinct query terms present in
+    the doc. A query with no quotes degrades to plain disjunctive BM25;
+    a query whose phrase contains an out-of-vocabulary term returns no
+    rows. Served entirely from the positional table (its block headers are
+    full posting blocks, so free-term scoring needs no second scan)."""
+    parsed = {qid: parse_mixed_query(q) for qid, q in queries}
+    parsed = {
+        qid: pf for qid, pf in parsed.items() if pf[0] or pf[1]
+    }
+    if not parsed:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    n_docs = float(index.n_docs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    dfm = index.df_map(spark)
+    pairs: list[tuple[int, str, float]] = []
+    for qid, (phrases_q, free_q) in list(parsed.items()):
+        terms_q = {t for toks in phrases_q for t in toks} | set(free_q)
+        if dfm is not None:
+            if any(
+                t not in dfm for toks in phrases_q for t in toks
+            ):
+                del parsed[qid]  # OOV phrase term: query can never match
+                continue
+            pairs.extend(
+                (qid, t, _driver_idf(n_docs, dfm[t]))
+                for t in sorted(terms_q)
+                if t in dfm  # OOV FREE terms just don't contribute
+            )
+        else:
+            pairs.extend((qid, t, float("nan")) for t in sorted(terms_q))
+    if not pairs or not parsed:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    terms = sorted({t for _, t, _ in pairs})
+    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
+    if dfm is not None:
+        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
+        blocks = pos_tbl.join(F.broadcast(qt), "term")
+    else:
+        qt = spark.createDataFrame(
+            [(q, t) for q, t, _ in pairs], "query_id int, term string"
+        )
+        td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
+        blocks = (
+            pos_tbl.join(F.broadcast(td), "term")
+            .join(F.broadcast(qt), "term")
+            .withColumn("idf", _idf(n_docs, F.col("df")))
+        )
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_mixed_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_mixed: per query, a match CTE ANDing
+    one space-join LIKE per quoted phrase (absent for phrase-free queries),
+    then BM25 over all distinct query terms restricted to matching docs."""
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    branches = []
+    for qid, q in queries:
+        phrases_q, free_q = parse_mixed_query(q)
+        all_terms = sorted({t for toks in phrases_q for t in toks} | set(free_q))
+        if not all_terms:
+            continue
+        terms_vals = ", ".join(f"('{t}')" for t in all_terms)
+        if phrases_q:
+            conds = " AND ".join(
+                "' ' || array_to_string(tk.t, ' ') || ' ' LIKE '% "
+                + " ".join(toks) + " %'"
+                for toks in phrases_q
+            )
+            match = f"SELECT tk.doc_id FROM tk WHERE {conds}"
+        else:
+            match = (
+                "SELECT DISTINCT tdt.doc_id FROM tdt "
+                f"WHERE tdt.term IN (SELECT term FROM (VALUES {terms_vals}) v(term))"
+            )
+        branches.append(f"""
+  SELECT {qid} AS query_id, m.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM ({match}) m
+  JOIN tdt ON tdt.doc_id = m.doc_id
+       AND tdt.term IN (SELECT term FROM (VALUES {terms_vals}) v(term))
+  JOIN ts ON ts.term = tdt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN cs
+  GROUP BY m.doc_id""")
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+scored AS ({' UNION ALL '.join(branches)})
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

@@ -398,3 +398,54 @@ def test_phrase_fresh_equals_compacted(spark, tmp_path):
     # the delta-only phrase matches exactly the refreshed docs
     omega_docs = {r[1] for r in fresh if r[0] == 2}
     assert omega_docs == {i for i, _ in delta_rows}
+
+
+def test_mixed_query_matches_bruteforce(spark, phrase_index):
+    """Mixed query strings: quoted phrases constrain, free terms rank.
+    Brute-force oracle over the random corpus, incl. a two-phrase query, a
+    phrase-free disjunctive query, and an OOV phrase (=> empty)."""
+    import math
+
+    from grenad_spark.query.phrase import parse_mixed_query, search_topk_mixed
+
+    idx, rows = phrase_index
+    queries = [
+        (1, 'gamma "alpha beta"'),
+        (2, '"zeta eta" "beta gamma"'),
+        (3, "delta eps"),
+        (4, '"alpha nosuchword" beta'),
+    ]
+    got = search_topk_mixed(spark, idx, queries, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+
+    # corpus stats for the brute-force BM25
+    toks_by_doc = {d: t.split() for d, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(t) for t in toks_by_doc.values()) / n_docs
+    df = {}
+    for t in toks_by_doc.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+
+    for qid, q in queries:
+        phrases, free = parse_mixed_query(q)
+        all_terms = sorted({w for p in phrases for w in p} | set(free))
+        expect = {}
+        for doc_id, t in toks_by_doc.items():
+            if phrases and not all(
+                any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
+                for p in phrases
+            ):
+                continue
+            present = [w for w in all_terms if w in t]
+            if not present:
+                continue
+            s = 0.0
+            for w in present:
+                tf = t.count(w)
+                idf = math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+            expect[doc_id] = round(s, 4)
+        assert by_q.get(qid, {}) == expect, (qid, q)

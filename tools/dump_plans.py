@@ -145,10 +145,11 @@ def main() -> None:
         (
             "Serving: exact-phrase over the positional index",
             "Must show: PushedFilters with term IN (...) on the positions "
-            "scan; ReadSchema carrying ONLY term/shard/n/header/positions "
-            "(block metadata pruned); BroadcastHashJoin for the query terms; "
-            "ONE Exchange into the phrase kernel; WindowGroupLimit partial "
-            "top-k before the final rank exchange.",
+            "scan; ReadSchema pruned to term/shard/n/first_doc/header/"
+            "positions (first_doc orders blocks inside the kernel — "
+            "multi-file scans scramble row order); BroadcastHashJoin for "
+            "the query terms; ONE Exchange into the phrase kernel; "
+            "WindowGroupLimit partial top-k before the final rank exchange.",
             plan_str(search_topk_phrase(spark, idx, PHRASE_QUERIES, k=10)),
         )
     )
