@@ -400,6 +400,20 @@ def main() -> None:
     assert pres[True] == pres[False], "phrase shard-prune diverged"
     queries["phrase_batch_12"] = round(tp[True], 3)
     queries["phrase_batch_12_noprune"] = round(tp[False], 3)
+    # decode-once phrase batch: every distinct position block ships once
+    from grenad_spark.query.phrase import search_topk_phrase_shared
+
+    search_topk_phrase_shared(spark, idx, phrase_qs[:4], k=10).collect()  # warm
+    tps = float("inf")
+    ps_res = None
+    for _ in range(3):
+        t0 = time.time()
+        ps_res = sorted(map(tuple, search_topk_phrase_shared(
+            spark, idx, phrase_qs, k=10).collect()))
+        tps = min(tps, time.time() - t0)
+    assert ps_res == pres[False], "shared phrase batch diverged"
+    queries["phrase_batch_12_shared"] = round(tps, 3)
+    log(f"shared-decode phrase batch: {tps:.3f}s ({tps / 12:.3f}s/query)")
     log(
         f"phrase batch (12 phrases, one job): pruned={tp[True]:.3f}s "
         f"noprune={tp[False]:.3f}s ({tp[True] / 12:.3f}s/query; uniform "
@@ -713,6 +727,7 @@ def main() -> None:
         "zipf_shuffle_survivor_ratio": round(prune_ratio, 4),
         "positions_build_docs_per_sec": round(pnd / tpos, 1),
         "phrase_batched_sec_per_query": round(tp[True] / len(phrase_qs), 4),
+        "phrase_shared_sec_per_query": round(tps / len(phrase_qs), 4),
         "phrase_marker_prune_speedup": round(mtp[False] / mtp[True], 2),
         "phrase_marker_survivor_ratio": round(surv_groups / max(1, total_groups), 4),
         "multiterm_survivor_ratio_crossterm": round(ratios[True][0] / max(1, int(mtot["c"])), 4),

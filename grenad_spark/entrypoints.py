@@ -943,6 +943,20 @@ _MIXED_QUERIES = [
 ]
 
 
+@register("bm25_topk_phrase_shared", bm25.bm25_phrase_oracle_sql())
+def q_bm25_phrase_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-once phrase batch (each distinct position block crosses the
+    exchange once per batch) — gated by the SAME phrase oracle: batching
+    must be invisible in the values."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_phrase_shared
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_phrase_shared(spark, idx, bm25.PHRASE_QUERIES, k=10)
+
+
 @register("bm25_topk_mixed", _sql_mixed(_MIXED_QUERIES))
 def q_bm25_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed query strings (free terms + quoted phrase constraints) served
@@ -1337,7 +1351,7 @@ _OVERFLOW_ORDER = [
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
     "bm25_topk_proximity", "bm25_topk_phrase_snippets",
     "bm25_topk_sorted_attr", "bm25_topk_distinct_attr", "index_stats",
-    "bm25_topk_mixed",
+    "bm25_topk_mixed", "bm25_topk_phrase_shared",
     "media_features", "media_metadata", "media_resize", "media_frames",
 ]
 

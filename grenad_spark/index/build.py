@@ -712,6 +712,20 @@ class IndexHandle:
 
         return search_topk_phrase(spark, self, queries, k=k)
 
+    def search_phrase_batch(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Decode-once phrase batch (each distinct position block ships once
+        per batch — best for phrase query batches)."""
+        from grenad_spark.query.phrase import search_topk_phrase_shared
+
+        return search_topk_phrase_shared(spark, self, queries, k=k)
+
+    def search_mixed(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Mixed query strings: free terms + double-quoted phrase
+        constraints (the Meilisearch query language)."""
+        from grenad_spark.query.phrase import search_topk_mixed
+
+        return search_topk_mixed(spark, self, queries, k=k)
+
     def search_proximity(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
         """Proximity-ranked conjunctive top-k (Meilisearch proximity rule)
         over the positional index: summed adjacent-pair min position

@@ -877,3 +877,122 @@ SELECT query_id, doc_id, score FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# shared-decode phrase batch — each distinct position block ships ONCE per
+# batch regardless of how many phrase queries reference its term (the
+# production batch-serving shape, mirroring search_topk_shared)
+# ---------------------------------------------------------------------------
+
+def _make_phrase_shared_kernel(
+    phrases: dict[int, list[str]], idfs: dict[str, float], avgdl: float, codec: str
+):
+    """applyInPandas over one COALESCED shard group's position blocks for
+    the UNION of all phrase terms (no query column anywhere before the
+    exchange — queries and idfs ride in via this closure). The group may
+    hold several shards (qshard = shard % n_qshards): doc ranges ascend
+    with shard id and are disjoint, so sorting a term's blocks by first_doc
+    yields a globally doc-sorted stream across the whole group — one decode
+    and one intersection chain per term/query, no per-shard split."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, tuple] = {}
+        for term, g in pdf.groupby("term", sort=False):
+            g = g.sort_values("first_doc", kind="stable")
+            decoded[term] = decode_position_blocks(
+                list(g["header"]), list(g["positions"]), g["n"].to_numpy(), codec
+            )
+        outs = []
+        for qid, toks in phrases.items():
+            if any(t not in decoded for t in toks):
+                continue
+            keys = None
+            for i, t in enumerate(toks):
+                d, tf, _dl, pos, _occ = decoded[t]
+                dk = np.repeat(d, tf) << np.int64(POS_BITS)
+                adj = pos - i
+                kk = (dk + adj)[adj >= 0]
+                keys = kk if keys is None else np.intersect1d(keys, kk)
+                if keys.size == 0:
+                    break
+            if keys is None or keys.size == 0:
+                continue
+            matched = np.unique(keys >> np.int64(POS_BITS))
+            uniq_terms = list(dict.fromkeys(toks))
+            scores = np.zeros(matched.size, dtype=np.float64)
+            for t in uniq_terms:
+                d, tf, dl, _pos, _occ = decoded[t]
+                sel = np.searchsorted(d, matched)
+                scores += idfs[t] * _tfpart(
+                    tf[sel].astype(np.float64), dl[sel].astype(np.float64), avgdl
+                )
+            outs.append(
+                pd.DataFrame({"query_id": qid, "doc_id": matched, "score": scores})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def search_topk_phrase_shared(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Decode-once-score-many phrase batch: the positions scan carries NO
+    query join — each distinct block of the batch's term union crosses the
+    exchange exactly once (shuffle ∝ index slice, not queries × slice), and
+    every phrase query is evaluated inside the kernel against the decoded
+    shard. Requires the driver df map (vocabulary-gated, like
+    search_topk_shared); falls back to the per-query plan beyond it."""
+    phrases = {
+        q: t for q, t in _tokenize_phrases(queries).items() if t
+    }
+    if not phrases:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    dfm = index.df_map(spark)
+    if dfm is None:
+        return search_topk_phrase(spark, index, queries, k=k)
+    n_docs = float(index.n_docs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    phrases = {
+        qid: toks
+        for qid, toks in phrases.items()
+        if all(t in dfm for t in toks)  # OOV phrase term: can never match
+    }
+    if not phrases:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    terms = sorted({t for toks in phrases.values() for t in toks})
+    idfs = {t: _driver_idf(n_docs, dfm[t]) for t in terms}
+    blocks = index.positions(spark).filter(F.col("term").isin(terms)).select(
+        "shard", "term", "n", "first_doc", "header", "positions"
+    )
+    n_shards = int(index.n_shards)
+    # coalesce shards into ~core-count groups, like the shared posting path:
+    # shards are doc-disjoint so any shard grouping is exact
+    qshards = max(1, min(n_shards, spark.sparkContext.defaultParallelism))
+    per_shard = (
+        blocks.withColumn("qshard", F.col("shard") % qshards)
+        .groupBy("qshard")
+        .applyInPandas(
+            _make_phrase_shared_kernel(phrases, idfs, avgdl, codec), _OUT_SCHEMA
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )

@@ -449,3 +449,17 @@ def test_mixed_query_matches_bruteforce(spark, phrase_index):
                 s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
             expect[doc_id] = round(s, 4)
         assert by_q.get(qid, {}) == expect, (qid, q)
+
+
+def test_phrase_shared_equals_per_query(spark, phrase_index):
+    """Decode-once phrase batch must return exactly the per-query plan's
+    results (multi-block, multi-shard fixture; large k so no truncation
+    masks a divergence)."""
+    from grenad_spark.query.phrase import search_topk_phrase, search_topk_phrase_shared
+
+    idx, _rows = phrase_index
+    a = sorted(map(tuple, search_topk_phrase_shared(
+        spark, idx, PHRASES, k=10**6).collect()))
+    b = sorted(map(tuple, search_topk_phrase(
+        spark, idx, PHRASES, k=10**6).collect()))
+    assert a == b and len(a) > 0
