@@ -463,3 +463,101 @@ def test_phrase_shared_equals_per_query(spark, phrase_index):
     b = sorted(map(tuple, search_topk_phrase(
         spark, idx, PHRASES, k=10**6).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis kernel fuzz — no Spark: construct position blocks directly,
+# SHUFFLE the block rows (regression for the multi-file row-order bug), run
+# the applyInPandas kernels as plain functions vs a brute-force oracle.
+# ---------------------------------------------------------------------------
+
+import pandas as _pd
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_KVOCAB = ["a", "b", "c", "d"]
+
+
+@_st.composite
+def _kernel_case(draw):
+    n_docs = draw(_st.integers(2, 25))
+    corpus = {
+        doc_id: [draw(_st.sampled_from(_KVOCAB)) for _ in range(draw(_st.integers(1, 12)))]
+        for doc_id in range(n_docs)
+    }
+    m = draw(_st.integers(1, 3))
+    phrase = [draw(_st.sampled_from(_KVOCAB)) for _ in range(m)]
+    block_size = draw(_st.integers(1, 4))
+    seed = draw(_st.integers(0, 2**31 - 1))
+    return corpus, phrase, block_size, seed
+
+
+def _kernel_input(corpus, terms, block_size, seed, qid=1):
+    """Build the kernel's pandas input (shuffled row order) + idf map."""
+    import math
+
+    from grenad_spark.index.positions import encode_position_blocks
+
+    n_docs = len(corpus)
+    df = {}
+    for toks in corpus.values():
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for t in sorted(terms):
+        if t not in df:
+            continue
+        docs, tfs, dls, poss = [], [], [], []
+        for doc_id in sorted(corpus):
+            toks = corpus[doc_id]
+            p = [i for i, w in enumerate(toks) if w == t]
+            if p:
+                docs.append(doc_id)
+                tfs.append(len(p))
+                dls.append(len(toks))
+                poss.extend(p)
+        if not docs:
+            continue
+        idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        for n, first, last, header, ppay in encode_position_blocks(
+            np.array(docs), np.array(tfs), np.array(dls), np.array(poss), block_size
+        ):
+            rows.append((qid, 0, t, idf, n, first, header, ppay))
+    pdf = _pd.DataFrame(
+        rows,
+        columns=["query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"],
+    )
+    return pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+@_given(_kernel_case())
+@_settings(max_examples=150, deadline=None)
+def test_phrase_kernel_fuzz(case):
+    from grenad_spark.query.phrase import _make_phrase_kernel
+
+    corpus, phrase, block_size, seed = case
+    avgdl = sum(len(t) for t in corpus.values()) / len(corpus)
+    pdf = _kernel_input(corpus, set(phrase), block_size, seed)
+    expect = _brute_phrase_match([(d, " ".join(t)) for d, t in corpus.items()], phrase)
+    if pdf.empty or not all((pdf["term"] == t).any() for t in set(phrase)):
+        assert not expect  # a term with no postings => no phrase match
+        return
+    out = _make_phrase_kernel({1: phrase}, avgdl, "none")(pdf)
+    assert set(out["doc_id"]) == expect
+
+
+@_given(_kernel_case())
+@_settings(max_examples=100, deadline=None)
+def test_proximity_kernel_fuzz(case):
+    from grenad_spark.query.phrase import _make_proximity_kernel
+
+    corpus, phrase, block_size, seed = case
+    avgdl = sum(len(t) for t in corpus.values()) / len(corpus)
+    pdf = _kernel_input(corpus, set(phrase), block_size, seed)
+    expect = _brute_proximity([(d, " ".join(t)) for d, t in corpus.items()], phrase)
+    if pdf.empty or not all((pdf["term"] == t).any() for t in set(phrase)):
+        assert not expect
+        return
+    out = _make_proximity_kernel({1: phrase}, avgdl, "none")(pdf)
+    got = dict(zip(out["doc_id"], out["proximity"]))
+    assert got == expect

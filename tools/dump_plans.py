@@ -167,6 +167,33 @@ def main() -> None:
         )
     )
 
+    from grenad_spark.query.phrase import search_topk_mixed, search_topk_phrase_shared
+
+    sections.append(
+        (
+            "Serving: shared-decode phrase batch",
+            "Must show: the positions scan feeds the kernel with NO query "
+            "column or query join anywhere before the exchange (queries and "
+            "idfs ride the closure) — each distinct block of the batch's "
+            "term union ships once; one Exchange hashpartitioning(qshard).",
+            plan_str(search_topk_phrase_shared(spark, idx, PHRASE_QUERIES, k=10)),
+        )
+    )
+    sections.append(
+        (
+            "Serving: mixed query strings (free terms + quoted phrases)",
+            "Must show: ONE positional scan serving both the phrase "
+            "constraints and the free-term BM25 (block headers are full "
+            "posting blocks — no second scan against segments); the same "
+            "pruned-scan + broadcast + single-exchange shape as phrase.",
+            plan_str(
+                search_topk_mixed(
+                    spark, idx, [(1, 'dup "merge sort"'), (2, "spark window")], k=10
+                )
+            ),
+        )
+    )
+
     from grenad_spark.operators.dedup import minhash_lsh_pairs
 
     sections.append(
