@@ -943,6 +943,26 @@ _MIXED_QUERIES = [
 ]
 
 
+@register("bm25_topk_fuzzy_ranked", bm25.bm25_fuzzy_ranked_oracle_sql())
+def q_bm25_fuzzy_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search under the Meilisearch rule pipeline: covered
+    query-term slots DESC, total typos ASC, BM25 DESC, doc ASC."""
+    from grenad_spark.query.search import search_topk_fuzzy_ranked
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_fuzzy_ranked(spark, idx, bm25.FUZZY_QUERIES, k=10)
+
+
+@register("bm25_topk_words", bm25.bm25_words_oracle_sql())
+def q_bm25_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Meilisearch WORDS ranking rule (first-priority rule): more
+    matched distinct terms ranks first, BM25 then doc_id break ties."""
+    from grenad_spark.query.search import search_topk_words
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_words(spark, idx, bm25.REFERENCE_QUERIES, k=10)
+
+
 @register("bm25_topk_phrase_shared", bm25.bm25_phrase_oracle_sql())
 def q_bm25_phrase_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-once phrase batch (each distinct position block crosses the
@@ -1351,7 +1371,8 @@ _OVERFLOW_ORDER = [
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
     "bm25_topk_proximity", "bm25_topk_phrase_snippets",
     "bm25_topk_sorted_attr", "bm25_topk_distinct_attr", "index_stats",
-    "bm25_topk_mixed", "bm25_topk_phrase_shared",
+    "bm25_topk_mixed", "bm25_topk_phrase_shared", "bm25_topk_words",
+    "bm25_topk_fuzzy_ranked",
     "media_features", "media_metadata", "media_resize", "media_frames",
 ]
 

@@ -700,6 +700,21 @@ class IndexHandle:
 
         return search_topk_fuzzy(spark, self, queries, k=k, max_edits=max_edits)
 
+    def search_fuzzy_ranked(
+        self, spark: SparkSession, queries, k: int = 10, max_edits: int = 1
+    ) -> DataFrame:
+        """Typo-tolerant search under the words → typo → relevance rule
+        pipeline (covered slots DESC, total typos ASC, BM25, doc)."""
+        from grenad_spark.query.search import search_topk_fuzzy_ranked
+
+        return search_topk_fuzzy_ranked(spark, self, queries, k=k, max_edits=max_edits)
+
+    def search_words(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """The words ranking rule: more matched distinct terms first."""
+        from grenad_spark.query.search import search_topk_words
+
+        return search_topk_words(spark, self, queries, k=k)
+
     def search_and(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
         from grenad_spark.query.search import search_conjunctive
 

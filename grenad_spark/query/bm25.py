@@ -482,3 +482,93 @@ SELECT query_id, doc_id, {distinct_col}, score FROM (
   FROM attrd WHERE grn = 1
 ) WHERE rn <= {k}
 """
+
+
+def bm25_words_oracle_sql(
+    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K
+) -> str:
+    """DuckDB oracle for search_topk_words (the Meilisearch WORDS ranking
+    rule): rank by matched-distinct-term count DESC, BM25 DESC, doc ASC."""
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+    FROM {sql_queries_values(queries)}
+  ) WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score,
+         count(DISTINCT tdt.term)::INT AS hit_terms
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, hit_terms, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hit_terms DESC, score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def bm25_fuzzy_ranked_oracle_sql(
+    queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K, max_edits: int = 1
+) -> str:
+    """DuckDB oracle for search_topk_fuzzy_ranked — the Meilisearch rule
+    pipeline on typo-tolerant queries: covered query-term slots DESC, total
+    typos ASC (Σ per covered slot of min edit distance among the doc's
+    matched derivations; one derivation may credit several slots), BM25
+    DESC, doc ASC."""
+    queries = queries if queries is not None else FUZZY_QUERIES
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+rawq AS (
+  SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS qterm
+  FROM {sql_queries_values(queries)}
+),
+qx AS (
+  SELECT r.query_id, r.qterm, v.term, levenshtein(v.term, r.qterm)::BIGINT AS lev
+  FROM rawq r JOIN vocab v
+    ON r.qterm <> ''
+   AND abs(length(v.term) - length(r.qterm)) <= {max_edits}
+   AND levenshtein(v.term, r.qterm) <= {max_edits}
+),
+slotm AS (
+  SELECT qx.query_id, tdt.doc_id, qx.qterm, min(qx.lev) AS typos
+  FROM tdt JOIN qx ON tdt.term = qx.term
+  GROUP BY 1, 2, 3
+),
+agg2 AS (
+  SELECT query_id, doc_id, count(*)::INT AS hit_terms, sum(typos)::BIGINT AS typos
+  FROM slotm GROUP BY 1, 2
+),
+qt AS (SELECT DISTINCT query_id, term FROM qx),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, hit_terms, typos, score FROM (
+  SELECT s.query_id, s.doc_id, a.hit_terms, a.typos, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY a.hit_terms DESC, a.typos ASC, s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN agg2 a ON a.query_id = s.query_id AND a.doc_id = s.doc_id
+) WHERE rn <= {k}
+"""

@@ -394,6 +394,38 @@ def search_conjunctive(
     )
 
 
+def search_topk_words(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """The Meilisearch WORDS ranking rule (its first-priority rule): docs
+    matching MORE distinct query terms rank first; BM25 then doc_id break
+    ties. (query_id, doc_id, hit_terms, score). Same plan as the AND path —
+    the per-shard kernel already counts matched terms — minus the
+    all-terms-required filter."""
+    pairs = _tokenize_queries(queries)
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hit_terms"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "hit_terms", "score")
+    )
+
+
 def search_topk_sorted(
     spark: SparkSession,
     index: IndexHandle,
@@ -1845,3 +1877,143 @@ def _make_wand(avgdl: float, k: int, codec: str = "none"):
         return _topk_rows(qid, docs, scores, k)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# typo-ranked fuzzy search — the Meilisearch rule pipeline words → typo →
+# relevance applied to typo-tolerant queries: docs covering more query-term
+# slots rank first, then fewer total typos (Σ per covered slot of the min
+# edit distance among the doc's matched derivations), then BM25, then doc.
+# ---------------------------------------------------------------------------
+
+_OUT_TYPO_SCHEMA = "query_id int, doc_id long, hit_terms int, typos long, score double"
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (driver-side only, expansion-set sized)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _make_typo_ranked_kernel(
+    slot_meta: dict[int, dict[str, list[tuple[int, int]]]],
+    avgdl: float,
+    codec: str,
+):
+    """slot_meta: qid -> {expansion term -> [(qterm slot, edit distance)]}.
+    One expansion term may serve SEVERAL query slots (each within
+    max_edits) — the oracle credits every slot, so the kernel must too."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        meta = slot_meta[qid]
+        doc_parts, score_parts = [], []
+        cov_docs, cov_slots, cov_typos = [], [], []
+        for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            d, tf, dl = decode_block_rows(
+                decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy()
+            )
+            s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            doc_parts.append(d)
+            score_parts.append(s)
+            for slot, typo in meta[term]:
+                cov_docs.append(d)
+                cov_slots.append(np.full(d.size, slot, dtype=np.int64))
+                cov_typos.append(np.full(d.size, typo, dtype=np.int64))
+        if not doc_parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "hit_terms": pd.Series(dtype="int32"),
+                    "typos": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        n_slots = 1 + max(s for tl in meta.values() for s, _ in tl)
+        packed = np.concatenate(cov_docs) * np.int64(n_slots) + np.concatenate(cov_slots)
+        tarr = np.concatenate(cov_typos)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        mintypo = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mintypo, inv, tarr)
+        docs_u = uniq // np.int64(n_slots)
+        du, dinv = np.unique(docs_u, return_inverse=True)
+        hits = np.zeros(du.size, dtype=np.int64)
+        np.add.at(hits, dinv, 1)
+        tsum = np.zeros(du.size, dtype=np.int64)
+        np.add.at(tsum, dinv, mintypo)
+        # BM25 over the distinct expansion terms, aggregated per doc
+        docs_all = np.concatenate(doc_parts)
+        scores_all = np.concatenate(score_parts)
+        su, sinv = np.unique(docs_all, return_inverse=True)
+        sagg = np.zeros(su.size)
+        np.add.at(sagg, sinv, scores_all)
+        # su == du: both are the docs matching >= 1 expansion term
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": du,
+                "hit_terms": hits.astype(np.int32),
+                "typos": tsum,
+                "score": sagg,
+            }
+        )
+
+    return fn
+
+
+def search_topk_fuzzy_ranked(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Typo-tolerant search ranked by the Meilisearch rule pipeline:
+    (covered query-term slots DESC, total typos ASC, BM25 DESC, doc_id ASC).
+    (query_id, doc_id, hit_terms, typos, score). Expansion reuses the
+    persisted typo tables (bigram / SymSpell paths); slot+distance metadata
+    is driver-computed over the expansion set and rides the kernel closure
+    (block rows never duplicate per slot)."""
+    pairs = expand_fuzzy_queries(spark, index, queries, max_edits)
+    if not pairs:
+        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+    qslots: dict[int, list[str]] = {}
+    for qid, qterm in _tokenize_queries(queries):
+        qslots.setdefault(qid, []).append(qterm)
+    slot_meta: dict[int, dict[str, list[tuple[int, int]]]] = {}
+    for qid, term in pairs:
+        tl = []
+        for slot, qterm in enumerate(qslots[qid]):
+            d = _levenshtein(term, qterm)
+            if d <= max_edits:
+                tl.append((slot, d))
+        if tl:
+            slot_meta.setdefault(qid, {})[term] = tl
+    pairs = [(q, t) for q, t in pairs if t in slot_meta.get(q, {})]
+    if not pairs:
+        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "payload"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_typo_ranked_kernel(slot_meta, avgdl, codec), _OUT_TYPO_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hit_terms"), F.asc("typos"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "hit_terms", "typos", "score")
+    )
