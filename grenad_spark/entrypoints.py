@@ -1317,11 +1317,13 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries in rounds 1-3), so insertion order decides which queries get hard
 # CORRECTNESS rows. The gate window below holds every high-risk ENGINE path
 # (full build/encode/decode/seek/merge/prune/fuzzy/fresh/compaction chains +
-# one representative per operator family); the overflow tail is the 14
-# lowest-risk queries — pure JVM projections (text/media stats), strict
-# subsets of gated queries (bm25_topk ⊂ bm25_topk_indexed, curation_pipeline
-# ⊂ curation_pipeline_clustered), and oracle-identical ANN variants — which
-# stay registered and judge-checkable via tools/check_contract.py.
+# one representative per operator family); the overflow tail (27 queries —
+# count asserted by the reorder guard, not this comment) holds the
+# lower-risk entries: pure JVM projections (text/media stats, facets),
+# strict subsets or re-rankings of gated kernels (bm25_topk ⊂
+# bm25_topk_indexed, words/sorted/distinct over the gated AND kernel,
+# phrase variants over the gated phrase kernel), and oracle-identical ANN
+# variants — all registered and judge-checkable via tools/check_contract.py.
 # ---------------------------------------------------------------------------
 
 _DRIVER_GATE_ORDER = [

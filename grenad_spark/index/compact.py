@@ -380,6 +380,15 @@ def compact_indexes(
     # re-encode. Mixed availability degrades to "no positions" (phrase
     # serving would be silently wrong for the gap generations otherwise).
     has_pos = all(h.has_positions() for h in handles)
+    if not has_pos:
+        # a REUSED output dir (e.g. the streaming scratch dir) may hold a
+        # positions table from an earlier, crashed compaction of a DIFFERENT
+        # generation set — has_positions() only checks _SUCCESS, so leaving
+        # it would make the compacted index silently serve position blocks
+        # inconsistent with its segments
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "positions"), ignore_errors=True)
     if has_pos:
         from grenad_spark.index.positions import (
             POSITIONS_SCHEMA,

@@ -51,6 +51,28 @@ def _tokenize_phrases(queries: list[tuple[int, str]]) -> dict[int, list[str]]:
     return out
 
 
+def _positions_blocks(spark, index, n_docs, pairs, use_dfm: bool):
+    """Positions-table analog of search.py's _query_blocks_from_pairs:
+    pruned In(term) scan joined with the (query_id, term, idf) broadcast.
+    use_dfm=True means idf was computed driver-side from the vocabulary-
+    gated df map and rides inside the pairs; False takes the 10^9-term
+    fallback (broadcast join against term_dict, idf as a column expr)."""
+    terms = sorted({t for _, t, _ in pairs})
+    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
+    if use_dfm:
+        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
+        return pos_tbl.join(F.broadcast(qt), "term")
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in pairs], "query_id int, term string"
+    )
+    td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
+    return (
+        pos_tbl.join(F.broadcast(td), "term")
+        .join(F.broadcast(qt), "term")
+        .withColumn("idf", _idf(n_docs, F.col("df")))
+    )
+
+
 def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str):
     """applyInPandas kernel over one (query_id, shard) group of position
     blocks (term, idf, n, header, positions)."""
@@ -147,22 +169,7 @@ def search_topk_phrase(
             pairs.extend((qid, t, float("nan")) for t in set(toks))
     if not pairs:
         return spark.createDataFrame([], _OUT_SCHEMA)
-    terms = sorted({t for _, t, _ in pairs})
-    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
-    if dfm is not None:
-        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
-        blocks = pos_tbl.join(F.broadcast(qt), "term")
-    else:
-        # vocabulary too large for a driver df map: broadcast-join term_dict
-        qt = spark.createDataFrame(
-            [(q, t) for q, t, _ in pairs], "query_id int, term string"
-        )
-        td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
-        blocks = (
-            pos_tbl.join(F.broadcast(td), "term")
-            .join(F.broadcast(qt), "term")
-            .withColumn("idf", _idf(n_docs, F.col("df")))
-        )
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     if prune_shards:
         nt = spark.createDataFrame(
             [
@@ -434,21 +441,7 @@ def search_topk_proximity(
             pairs.extend((qid, t, float("nan")) for t in set(toks))
     if not pairs:
         return spark.createDataFrame([], _PROX_OUT_SCHEMA)
-    terms = sorted({t for _, t, _ in pairs})
-    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
-    if dfm is not None:
-        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
-        blocks = pos_tbl.join(F.broadcast(qt), "term")
-    else:
-        qt = spark.createDataFrame(
-            [(q, t) for q, t, _ in pairs], "query_id int, term string"
-        )
-        td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
-        blocks = (
-            pos_tbl.join(F.broadcast(td), "term")
-            .join(F.broadcast(qt), "term")
-            .withColumn("idf", _idf(n_docs, F.col("df")))
-        )
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
         "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
@@ -793,21 +786,7 @@ def search_topk_mixed(
             pairs.extend((qid, t, float("nan")) for t in sorted(terms_q))
     if not pairs or not parsed:
         return spark.createDataFrame([], _OUT_SCHEMA)
-    terms = sorted({t for _, t, _ in pairs})
-    pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
-    if dfm is not None:
-        qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
-        blocks = pos_tbl.join(F.broadcast(qt), "term")
-    else:
-        qt = spark.createDataFrame(
-            [(q, t) for q, t, _ in pairs], "query_id int, term string"
-        )
-        td = index.term_dict(spark).filter(F.col("term").isin(terms)).select("term", "df")
-        blocks = (
-            pos_tbl.join(F.broadcast(td), "term")
-            .join(F.broadcast(qt), "term")
-            .withColumn("idf", _idf(n_docs, F.col("df")))
-        )
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
         "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(

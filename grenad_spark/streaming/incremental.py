@@ -124,7 +124,14 @@ def incremental_index_stream(
             # the collapsed generation set seconds later anyway.)
             _refresh_live(batch_df.sparkSession, out)
         if len(gens) >= max_generations:
+            import shutil
+
             compacted_tmp = os.path.join(index_root, "_compacting")
+            # clear any leftovers of a CRASHED earlier compaction: stage
+            # _SUCCESS markers in a half-written scratch dir would otherwise
+            # let the new compaction resume/skip stages against a different
+            # generation set
+            shutil.rmtree(compacted_tmp, ignore_errors=True)
             compact_indexes(batch_df.sparkSession, gens, compacted_tmp)
             # CRASH-SAFE swap order: rename the compacted run INTO place
             # FIRST (readers see either the old generations, or old + the
@@ -133,8 +140,6 @@ def incremental_index_stream(
             # previous delete-then-rename order could crash in between and
             # leave only `_compacting`, which generation_paths() won't list —
             # the index would read as empty even though the data exists.
-            import shutil
-
             os.rename(compacted_tmp, os.path.join(index_root, f"gen={epoch_id}_c"))
             for g in gens:
                 shutil.rmtree(g)

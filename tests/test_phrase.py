@@ -195,8 +195,17 @@ def test_phrase_shard_prune_drops_headterm_shards(spark, tmp_path):
     out = str(tmp_path / "skewidx")
     idx = build_index(spark, docs, out, n_shards=6)
     build_positions(spark, docs, out)
-    got = search_topk_phrase(spark, idx, [(1, "head rare")], k=10).collect()
+    # run the PRUNED plan on the skewed fixture (the identity test's uniform
+    # corpus prunes nothing by construction — this is where the survivors
+    # join actually removes groups and must not drop the valid one)
+    got = search_topk_phrase(
+        spark, idx, [(1, "head rare")], k=10, prune_shards=True
+    ).collect()
     assert [(r.query_id, r.doc_id) for r in got] == [(1, 7)]
+    unpruned = search_topk_phrase(
+        spark, idx, [(1, "head rare")], k=10, prune_shards=False
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, unpruned))
     # metadata pre-pass math: 'rare' has blocks in exactly one shard, so the
     # survivor set is that single (query, shard) pair
     seg = idx.positions(spark)

@@ -428,18 +428,20 @@ def test_distinct_attr_semantics(spark, docs_small, index_small):
             best[key] = cand
     for r in got:
         assert best[(r.query_id, r.lang)] == (-r.score, r.doc_id)
-    # sorted-attr sanity: ranked by n_chars desc within each query
+    # sorted-attr: the returned doc set must be EXACTLY the top-20 of the
+    # full conjunctive match set under (n_chars DESC, doc_id ASC) — this
+    # catches a flipped sort direction, a wrong tie-break, or a wrong
+    # attribute column (the result carries n_chars, so compare pairs)
     s = search_topk_sorted(
         spark, index_small, docs_small, qs, "n_chars", k=20
     ).collect()
-    by_q = {}
+    got_sorted = {}
     for r in s:
-        by_q.setdefault(r.query_id, []).append(r.n_chars)
-    # row_number order is not preserved by collect order after the filter;
-    # re-sort by the returned attribute and compare against the top-20 of
-    # the full match set
-    full_chars = {}
+        got_sorted.setdefault(r.query_id, set()).add((r.doc_id, r.n_chars))
+    chars = {r.doc_id: r.n_chars for r in docs_small.select("doc_id", "n_chars").collect()}
+    expect_sorted = {}
     for r in full:
-        full_chars.setdefault(r.query_id, []).append((r.doc_id,))
-    for qid, vals in by_q.items():
-        assert sorted(vals, reverse=True)[: len(vals)] == sorted(vals, reverse=True)
+        expect_sorted.setdefault(r.query_id, []).append(r.doc_id)
+    for qid, doc_ids in expect_sorted.items():
+        top = sorted(doc_ids, key=lambda d: (-chars[d], d))[:20]
+        assert got_sorted.get(qid, set()) == {(d, chars[d]) for d in top}, qid
