@@ -861,6 +861,23 @@ def q_facet_numeric_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _facets.facet_numeric_buckets(_docs(spark, sf_dir), "n_chars", 500)
 
 
+@register(
+    "facet_counts_phrase",
+    _facets.sql_facet_counts_for_phrase(_FACET_COLS, "merge sort"),
+)
+def q_facet_counts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets of a PHRASE search: the match set comes from the positional
+    layer (exact adjacency), then one doc_id join into the unpivot+count."""
+    from grenad_spark.index.positions import build_positions
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return _facets.facet_counts_for_phrase(
+        spark, idx, _docs(spark, sf_dir), "merge sort", _FACET_COLS
+    )
+
+
 from grenad_spark.query.phrase import sql_phrase_snippets as _sql_phrase_snippets  # noqa: E402
 
 
@@ -1371,6 +1388,7 @@ _OVERFLOW_ORDER = [
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "text_redact_pii",
     "facet_counts", "facet_counts_search", "facet_numeric_buckets",
+    "facet_counts_phrase",
     "bm25_topk_proximity", "bm25_topk_phrase_snippets",
     "bm25_topk_sorted_attr", "bm25_topk_distinct_attr", "index_stats",
     "bm25_topk_mixed", "bm25_topk_phrase_shared", "bm25_topk_words",

@@ -108,3 +108,34 @@ def sql_facet_numeric_buckets(col: str, width: int, table: str = "documents") ->
         f"SELECT CAST(floor({col} / {width}.0) AS BIGINT) AS bucket, "
         f"count(*)::BIGINT AS cnt FROM {table} GROUP BY 1)"
     )
+
+
+def facet_counts_for_phrase(
+    spark: SparkSession, index, docs: DataFrame, phrase: str, facet_cols: list[str]
+) -> DataFrame:
+    """Facet distribution restricted to docs containing `phrase` as an
+    exact token-adjacent match — facets-of-a-search composed over the
+    positional layer. Work ∝ the phrase terms' posting sizes (the match
+    set comes from the phrase kernel), then one doc_id equi-join."""
+    from grenad_spark.query.phrase import phrase_matches
+
+    # UNRANKED match set — a facet restriction needs membership, not the
+    # top-k window/sort a ranked search would pay for
+    matched = phrase_matches(spark, index, phrase)
+    return facet_counts(docs.join(matched, "doc_id"), facet_cols)
+
+
+def sql_facet_counts_for_phrase(
+    facet_cols: list[str], phrase: str, table: str = "documents"
+) -> str:
+    import re
+
+    from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+    norm = " ".join(t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t)
+    match = (
+        f"(SELECT d.* FROM {table} d WHERE ' ' || array_to_string("
+        f"list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_SPLIT_RE}'), "
+        f"x -> x <> ''), ' ') || ' ' LIKE '% {norm} %')"
+    )
+    return sql_facet_counts(facet_cols, match + " AS t")

@@ -128,6 +128,35 @@ def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str)
     return fn
 
 
+def phrase_matches(
+    spark: SparkSession, index, phrase: str
+) -> DataFrame:
+    """(doc_id) of every doc containing `phrase` token-adjacently — the
+    UNRANKED match set (no top-k window, no score sort): what a facet
+    restriction or downstream filter consumes. Work ∝ the phrase terms'
+    posting sizes."""
+    phrases = _tokenize_phrases([(1, phrase)])
+    toks = phrases.get(1, [])
+    if not toks:
+        return spark.createDataFrame([], "doc_id long")
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    if dfm is not None and any(t not in dfm for t in toks):
+        return spark.createDataFrame([], "doc_id long")
+    pairs = [
+        (1, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for t in set(toks)
+    ]
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_phrase_kernel(phrases, float(index.avgdl), index.payload_codec),
+        _OUT_SCHEMA,
+    )
+    return per_shard.select("doc_id")
+
+
 def search_topk_phrase(
     spark: SparkSession,
     index,
