@@ -212,9 +212,22 @@ def build_positions(
     from grenad_spark.index.build import _done
 
     out_path = os.path.join(index_dir, "positions")
+    mpath = os.path.join(index_dir, "manifest.json")
     if _done(out_path):
+        # resume after a crash between the parquet write and the manifest
+        # update: the data is complete (_SUCCESS), so repair the manifest's
+        # has_positions flag if the crash left it unset (consumers key off
+        # the _SUCCESS marker, but manifest metadata must not stay stale)
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        if not manifest.get("has_positions"):
+            manifest["has_positions"] = True
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            os.replace(tmp, mpath)
         return
-    with open(os.path.join(index_dir, "manifest.json")) as fh:
+    with open(mpath) as fh:
         manifest = json.load(fh)
     n_shards = int(manifest["n_shards"])
     doc_space = int(manifest["max_doc"]) + 1

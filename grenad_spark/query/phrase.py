@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
 from grenad_spark.index.positions import POS_BITS, decode_position_blocks
 from grenad_spark.query.bm25 import SCORE_DECIMALS
-from grenad_spark.query.search import _driver_idf, _idf, _tfpart
+from grenad_spark.query.search import _driver_idf, _tfpart
 
 _OUT_SCHEMA = "query_id int, doc_id long, score double"
 
@@ -69,7 +69,12 @@ def _positions_blocks(spark, index, n_docs, pairs, use_dfm: bool):
     return (
         pos_tbl.join(F.broadcast(td), "term")
         .join(F.broadcast(qt), "term")
-        .withColumn("idf", _idf(n_docs, F.col("df")))
+        # Spark-expr idf, NOT the NumPy _idf (a Column has no .log); must stay
+        # formula-identical to _driver_idf / _query_blocks_from_pairs
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
     )
 
 

@@ -460,6 +460,41 @@ def test_mixed_query_matches_bruteforce(spark, phrase_index):
         assert by_q.get(qid, {}) == expect, (qid, q)
 
 
+def test_phrase_paths_large_vocab_fallback(spark, phrase_index, monkeypatch):
+    """Force the >IDF_MAP_MAX_TERMS fallback (df_map() -> None): every
+    phrase-family path must build idf from a term_dict broadcast with Spark
+    exprs and return results identical to the df-map plan. Regression for
+    r4 ADVICE: the fallback crashed at plan build (NumPy _idf applied to a
+    Column) in every path below."""
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.query import phrase as ph
+
+    idx, _rows = phrase_index
+    mixed_q = [(1, 'gamma "alpha beta"'), (2, "delta eps")]
+
+    def run_all():
+        return {
+            "phrase": sorted(map(tuple, ph.search_topk_phrase(
+                spark, idx, PHRASES, k=50).collect())),
+            "prox": sorted(map(tuple, ph.search_topk_proximity(
+                spark, idx, PROX_TEST_QUERIES, k=50).collect())),
+            "mixed": sorted(map(tuple, ph.search_topk_mixed(
+                spark, idx, mixed_q, k=50).collect())),
+            "shared": sorted(map(tuple, ph.search_topk_phrase_shared(
+                spark, idx, PHRASES, k=50).collect())),
+            "matches": sorted(
+                r.doc_id for r in ph.phrase_matches(spark, idx, "alpha beta").collect()
+            ),
+        }
+
+    baseline = run_all()
+    monkeypatch.setattr(IndexHandle, "IDF_MAP_MAX_TERMS", 0)
+    monkeypatch.delattr(idx, "_df_map", raising=False)  # bust the handle cache
+    assert idx.df_map(spark) is None
+    assert run_all() == baseline
+    monkeypatch.delattr(idx, "_df_map", raising=False)  # don't leak None to later tests
+
+
 def test_phrase_shared_equals_per_query(spark, phrase_index):
     """Decode-once phrase batch must return exactly the per-query plan's
     results (multi-block, multi-shard fixture; large k so no truncation
