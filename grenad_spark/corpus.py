@@ -45,6 +45,29 @@ def to_cc_shape(docs: DataFrame) -> DataFrame:
     )
 
 
+TITLE_TOKENS = 5
+
+
+def fielded_docs(docs: DataFrame, title_tokens: int = TITLE_TOKENS) -> DataFrame:
+    """Deterministic MULTI-FIELD document shape for attribute-aware serving:
+    (doc_id, title, body) where title = the first `title_tokens` tokens of
+    text and body = the rest (re-joined with single spaces — tokens are
+    [a-z0-9]+ so re-tokenizing each field reproduces the exact token
+    streams). The two fields partition the original token stream, so dl,
+    tf, df and therefore BM25 are IDENTICAL to the single-field corpus —
+    only positions gain a field id."""
+    from grenad_spark.functions.tokenize import tokens_col
+
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, title_tokens), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, title_tokens + 1, 1 << 24), " "
+        ).alias("body"),
+    )
+
+
 def assign_doc_ids(
     docs: DataFrame,
     url_col: str = "url",

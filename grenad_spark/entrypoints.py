@@ -1164,6 +1164,66 @@ def q_bm25_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Field-aware serving fixture (round 5): the SAME corpus indexed with
+# field-aware positions over the deterministic title/body split
+# (corpus.fielded_docs — title = first TITLE_TOKENS tokens). BM25 stats are
+# identical to the plain corpus (the fields partition the token stream);
+# only positions carry the fid, which the attribute/exactness rules consume.
+# ---------------------------------------------------------------------------
+
+
+def build_or_get_fielded_index(spark: SparkSession, sf_dir: str):
+    from grenad_spark.corpus import fielded_docs
+    from grenad_spark.index.build import (
+        CURRENT_FORMAT_VERSION,
+        IndexHandle,
+        build_index,
+    )
+    from grenad_spark.index.positions import build_positions
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    fkey = f"fielded{key}"
+    if fkey not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        path = f"/tmp/grenad_fielded_v{CURRENT_FORMAT_VERSION}{key}"
+        build_index(
+            spark, docs.select("doc_id", "text"), path, n_shards=4, overwrite=True
+        )
+        build_positions(spark, fielded_docs(docs), path, fields=["title", "body"])
+        # fresh handle so the manifest reflects position_fields
+        _INDEX_CACHE[fkey] = IndexHandle(path)
+    return _INDEX_CACHE[fkey]
+
+
+from grenad_spark.query import ranked as _ranked  # noqa: E402
+
+
+@register(
+    "bm25_topk_attr_rule",
+    _ranked.sql_attr_rule_topk(_ranked.ATTR_QUERIES, title_tokens=corpus.TITLE_TOKENS),
+)
+def q_bm25_attr_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Meilisearch ATTRIBUTE ranking rule over fid-keyed positions
+    (the fid_word_position_docids analog): conjunctive matches ranked by
+    summed best-field ids (title hits before body hits)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_attr_rule(spark, idx, _ranked.ATTR_QUERIES, k=10)
+
+
+@register(
+    "bm25_topk_ranked",
+    _ranked.sql_ranked_topk(_ranked.RANKED_QUERIES, title_tokens=corpus.TITLE_TOKENS),
+)
+def q_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED Meilisearch default ranking pipeline in one entry point:
+    words -> typo -> proximity -> attribute -> exactness -> relevance,
+    lexicographically, with 1-edit typo expansion — every rule statistic in
+    the output so the oracle verifies each tier."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_ranked(spark, idx, _ranked.RANKED_QUERIES, k=10)
+
+
 # phrase set for the fresh/LSM read path: ordinary corpus phrases plus one
 # ("zz refresh") that exists ONLY in the re-crawled generation's text — it
 # must surface the refreshed docs and nothing else
@@ -1371,6 +1431,7 @@ _DRIVER_GATE_ORDER = [
     "facet_counts_search", "facet_counts_phrase",
     # round-5 additions (debut round => gate window; names are appended here
     # by the round-5 feature commits as each query registers)
+    "bm25_topk_ranked", "bm25_topk_attr_rule",
     # index roundtrip + full Merger/compaction chains
     "term_dict", "term_dict_compacted", "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1)

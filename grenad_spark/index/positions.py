@@ -61,6 +61,67 @@ POSITIONS_SCHEMA = (
 POS_BITS = 20
 MAX_POS = (1 << POS_BITS) - 1
 
+# FIELD-AWARE positions (the Meilisearch fid-keyed word-position DBs —
+# meilisearch stores `fid_word_position_docids` grenad files; its positions
+# pack the field id into the high bits of one integer the same way): an
+# occurrence in field fid at in-field position p encodes as
+#     pos = fid * FIELD_STRIDE + p
+# inside the SAME POS_BITS budget, so the codec, blocks, compaction and every
+# phrase kernel are unchanged. Consequences (all intended, all shared with
+# the reference semantics): phrase adjacency never spans a field boundary
+# (the stride jump breaks p+1 chains), positions stay ascending per doc
+# (fields are numbered in attribute order), and the field of an occurrence
+# is pos >> FIELD_BITS. 2^4 fields x 2^16 tokens-per-field.
+FIELD_BITS = 16
+FIELD_STRIDE = 1 << FIELD_BITS
+MAX_FIELD_POS = FIELD_STRIDE - 1
+MAX_FIELDS = 1 << (POS_BITS - FIELD_BITS)
+
+
+def tokens_with_pos_fields(docs: DataFrame, fields: list[str]) -> DataFrame:
+    """(term, doc_id, dl, pos) over a MULTI-FIELD document shape: docs must
+    carry one text column per entry of `fields`; field id = list index
+    (attribute ranking order). pos = fid * FIELD_STRIDE + in-field position;
+    dl = TOTAL tokens across fields (BM25 length normalization sees the
+    whole document, like single-field builds). A field longer than
+    FIELD_STRIDE tokens fails loudly (JVM-side raise_error), never silently
+    collides with the next field id."""
+    if not fields:
+        raise ValueError("fields must be a non-empty list of text columns")
+    if len(fields) > MAX_FIELDS:
+        raise ValueError(f"{len(fields)} fields > MAX_FIELDS={MAX_FIELDS}")
+    toks = docs.select(
+        "doc_id", *[tokens_col(fld).alias(f"_tk{i}") for i, fld in enumerate(fields)]
+    ).select(
+        "doc_id",
+        sum(F.size(f"_tk{i}") for i in range(len(fields))).alias("dl"),
+        *[F.col(f"_tk{i}") for i in range(len(fields))],
+    )
+    parts = []
+    for i in range(len(fields)):
+        parts.append(
+            toks.select(
+                "doc_id", "dl", F.posexplode(f"_tk{i}").alias("p", "term")
+            ).select(
+                "term",
+                "doc_id",
+                "dl",
+                (
+                    F.when(
+                        F.col("p") > MAX_FIELD_POS,
+                        F.raise_error(
+                            f"field '{fields[i]}' exceeds {FIELD_STRIDE} tokens"
+                        ).cast("int"),
+                    ).otherwise(F.col("p"))
+                    + F.lit(i * FIELD_STRIDE)
+                ).alias("pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def tokens_with_pos(docs: DataFrame) -> DataFrame:
     """(term, doc_id, dl, pos) — one row per token OCCURRENCE with its
@@ -200,13 +261,19 @@ def build_positions(
     partitions: int | None = None,
     block_size: int | None = None,
     compression: str = "zstd",
+    fields: list[str] | None = None,
 ) -> None:
     """Add (or resume) the positions table beside an existing index. Reads
     shard geometry from the manifest so (term, shard, block docs) line up
     with the postings blocks. Separate stage rather than a build_index flag:
     positions ~double build cost and only phrase/proximity serving needs
     them (Meilisearch similarly builds word-position databases as their own
-    grenad files)."""
+    grenad files).
+
+    fields: when given, docs must carry one text column per entry and the
+    positions are FIELD-AWARE (fid packed in the high FIELD_BITS of pos —
+    see tokens_with_pos_fields); the field list is recorded in the manifest
+    so attribute-ranked serving can verify it."""
     import json
 
     from grenad_spark.index.build import _done
@@ -234,7 +301,11 @@ def build_positions(
     payload_codec = manifest.get("payload_codec", "none")
     partitions = partitions or spark.sparkContext.defaultParallelism
     t0 = time.time()
-    stream = tokens_with_pos(docs.select("doc_id", "text")).withColumn(
+    if fields:
+        occ = tokens_with_pos_fields(docs.select("doc_id", *fields), list(fields))
+    else:
+        occ = tokens_with_pos(docs.select("doc_id", "text"))
+    stream = occ.withColumn(
         "shard",
         F.expr(
             f"CAST((doc_id * CAST({n_shards} AS BIGINT)) DIV "
@@ -255,6 +326,8 @@ def build_positions(
     # record the stage in the manifest (lineage/metrics contract)
     manifest.setdefault("stage_seconds", {})["positions"] = round(time.time() - t0, 3)
     manifest["has_positions"] = True
+    if fields:
+        manifest["position_fields"] = list(fields)
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)

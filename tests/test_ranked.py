@@ -1,0 +1,204 @@
+"""Field-aware positions + attribute rule + composed ranking pipeline tests.
+
+Brute-force oracles over a random word-salad corpus with an explicit
+title/body field split (mirrors tests/test_phrase.py's strategy)."""
+
+import math
+
+import numpy as np
+import pytest
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+STRIDE = 1 << 16
+
+
+def _mk_fielded_corpus(rng, n_docs):
+    """[(doc_id, title_tokens, body_tokens)] — short titles, longer bodies."""
+    rows = []
+    for i in range(n_docs):
+        tl = rng.integers(1, 4)
+        bl = rng.integers(3, 25)
+        rows.append(
+            (
+                i,
+                [str(rng.choice(VOCAB)) for _ in range(tl)],
+                [str(rng.choice(VOCAB)) for _ in range(bl)],
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fielded_index(spark, tmp_path_factory):
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.positions import build_positions
+
+    rng = np.random.default_rng(41)
+    rows = _mk_fielded_corpus(rng, 300)
+    docs = spark.createDataFrame(
+        [(d, " ".join(t), " ".join(b), " ".join(t) + " " + " ".join(b))
+         for d, t, b in rows],
+        "doc_id long, title string, body string, text string",
+    )
+    out = str(tmp_path_factory.mktemp("fidx") / "index")
+    idx = build_index(spark, docs.select("doc_id", "text"), out, n_shards=3,
+                      block_size=16)
+    build_positions(spark, docs, out, fields=["title", "body"], block_size=16)
+    from grenad_spark.index.build import IndexHandle
+
+    return IndexHandle(out), rows
+
+
+def _corpus_stats(rows):
+    toks = {d: t + b for d, t, b in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for w in set(v):
+            df[w] = df.get(w, 0) + 1
+    return toks, n, avgdl, df
+
+
+def _bm25(toks, n, avgdl, df, doc_toks, terms):
+    s = 0.0
+    for w in terms:
+        tf = doc_toks.count(w)
+        if tf == 0:
+            continue
+        idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+        s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(doc_toks) / avgdl))
+    return round(s, 4)
+
+
+def test_fielded_positions_reject_unfielded_serving(spark, index_small):
+    from grenad_spark.query.ranked import search_topk_attr_rule
+
+    with pytest.raises(ValueError, match="position_fields"):
+        search_topk_attr_rule(spark, index_small, [(1, "the fast")], k=5)
+
+
+def test_attr_rule_bruteforce(spark, fielded_index):
+    from grenad_spark.query.ranked import search_topk_attr_rule
+
+    idx, rows = fielded_index
+    toks, n, avgdl, df = _corpus_stats(rows)
+    queries = [(1, "alpha beta"), (2, "gamma"), (3, "zeta eta theta")]
+    got = search_topk_attr_rule(spark, idx, queries, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = (r.attr, r.score)
+    for qid, q in queries:
+        terms = q.split()
+        expect = {}
+        for d, t, b in rows:
+            dt = t + b
+            if not all(w in dt for w in terms):
+                continue
+            attr = sum(0 if w in t else 1 for w in terms)
+            expect[d] = (attr, _bm25(toks, n, avgdl, df, dt, terms))
+        assert by_q.get(qid, {}) == expect, (qid, q)
+
+
+def test_ranked_pipeline_bruteforce(spark, fielded_index):
+    """Every rule statistic (words/typos/proximity/attribute/exactness/score)
+    against a from-scratch Python oracle, incl. a typo'd query."""
+    from grenad_spark.query.ranked import search_topk_ranked
+
+    idx, rows = fielded_index
+    toks, n, avgdl, df = _corpus_stats(rows)
+    queries = [(1, "alpha beta"), (2, "gama delta"), (3, "zeta")]
+    got = search_topk_ranked(spark, idx, queries, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = (
+            r.words, r.typos, r.proximity, r.attribute, r.exactness, r.score
+        )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = sorted(df)
+    for qid, q in queries:
+        slots = q.split()
+        derivs = {s: {t: lev(t, s) for t in vocab if lev(t, s) <= 1} for s in slots}
+        all_terms = sorted({t for dv in derivs.values() for t in dv})
+        expect = {}
+        for d, t, b in rows:
+            dt = t + b
+            # encoded positions
+            pos = {}
+            for i, w in enumerate(t):
+                pos.setdefault(w, []).append(i)
+            for i, w in enumerate(b):
+                pos.setdefault(w, []).append(STRIDE + i)
+            matched_slots = [
+                s for s in slots if any(tt in pos for tt in derivs[s])
+            ]
+            if not matched_slots:
+                continue
+            words = len(matched_slots)
+            typos = sum(
+                min(dist for tt, dist in derivs[s].items() if tt in pos)
+                for s in matched_slots
+            )
+            attr = sum(
+                min(p // STRIDE for tt in derivs[s] if tt in pos for p in pos[tt])
+                for s in matched_slots
+            )
+            exact = sum(1 for s in slots if s in pos)
+            prox = 0
+            for i in range(len(slots) - 1):
+                sa, sb = slots[i], slots[i + 1]
+                if sa not in [s for s in matched_slots] or sb not in matched_slots:
+                    continue
+                cands = [
+                    abs(pa - pb)
+                    for ta, da in derivs[sa].items() if ta in pos
+                    for tb, db in derivs[sb].items() if tb in pos
+                    for pa in pos[ta]
+                    for pb in pos[tb]
+                    if not (ta == tb and pa == pb)
+                ]
+                if cands:
+                    prox += min(cands)
+            score = _bm25(toks, n, avgdl, df, dt, [t for t in all_terms if t in pos])
+            expect[d] = (words, typos, prox, attr, exact, score)
+        assert by_q.get(qid, {}) == expect, (qid, q)
+
+
+def test_ranked_exact_match_dominates(spark, fielded_index):
+    """A doc matching all slots exactly with zero typos must rank at or
+    above any doc with the same words count but >0 typos."""
+    from grenad_spark.query.ranked import search_topk_ranked
+
+    idx, _rows = fielded_index
+    got = search_topk_ranked(spark, idx, [(1, "alpha beta")], k=50).collect()
+    seen_typo = False
+    for r in got:  # rows arrive rank-ordered per query
+        if r.words == 2:
+            if r.typos > 0:
+                seen_typo = True
+            else:
+                assert not seen_typo, "0-typo doc ranked below a typo'd doc"
+
+
+def test_field_overflow_rejected(spark, tmp_path):
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.positions import build_positions
+
+    big = " ".join("w" + str(i % 7) for i in range(70000))
+    docs = spark.createDataFrame(
+        [(0, "tiny title", big, "tiny title " + big)],
+        "doc_id long, title string, body string, text string",
+    )
+    out = str(tmp_path / "ovf")
+    build_index(spark, docs.select("doc_id", "text"), out, n_shards=1)
+    with pytest.raises(Exception, match="exceeds"):
+        build_positions(spark, docs, out, fields=["title", "body"])
