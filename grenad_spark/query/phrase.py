@@ -893,6 +893,184 @@ SELECT query_id, doc_id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# mixed queries with FINAL-WORD-PREFIX semantics — Meilisearch treats the
+# last word of the query string as a prefix (the user is still typing)
+# unless the query ends inside/at a quote; prefix expansions score as
+# ordinary disjuncts alongside the other free terms.
+# ---------------------------------------------------------------------------
+
+def parse_mixed_query_prefix(
+    q: str,
+) -> tuple[list[list[str]], list[str], str | None]:
+    """(phrases, free_terms, last_prefix): like parse_mixed_query, but when
+    the query string does NOT end with a closing quote, its final free term
+    is split out as a PREFIX to expand against the term dictionary
+    (Meilisearch's last-word-is-a-prefix rule; a trailing quoted phrase
+    disables it, as typing is 'complete' at a quote)."""
+    phrases, free = parse_mixed_query(q)
+    qs = q.rstrip()
+    if qs and not qs.endswith('"') and free:
+        return phrases, free[:-1], free[-1]
+    return phrases, free, None
+
+
+def _prefix_term_dfs(
+    spark: SparkSession,
+    index,
+    prefixes: set[str],
+    max_expansions: int | None = None,
+) -> dict[str, dict[str, int]]:
+    """prefix -> {term: df} via ONE pruned term_dict range scan (each prefix
+    p becomes the key range [p, successor(p)) — the PrefixIter shape, so a
+    range-partitioned dictionary prunes partitions). The collect is bounded
+    by the expansion count (capped per prefix by max_expansions, top-df
+    first, like Meilisearch's precomputed prefix databases)."""
+    from grenad_spark.operators.seek import advance_str
+
+    if not prefixes:
+        return {}
+    cond = None
+    for p in prefixes:
+        succ = advance_str(p)
+        c = (F.col("term") >= p) & (F.col("term") < succ) if succ else (
+            F.col("term") >= p
+        )
+        cond = c if cond is None else cond | c
+    rows = index.term_dict(spark).filter(cond).select("term", "df").collect()
+    out: dict[str, dict[str, int]] = {p: {} for p in prefixes}
+    for r in rows:
+        for p in prefixes:
+            if r["term"].startswith(p):
+                out[p][r["term"]] = int(r["df"])
+    if max_expansions is not None:
+        for p, dfs in out.items():
+            keep = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_expansions]
+            out[p] = dict(keep)
+    return out
+
+
+def search_topk_mixed_prefix(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """search_topk_mixed + Meilisearch's final-word-prefix rule: the last
+    free term of each query expands against the term dictionary and the
+    expansions rank as disjuncts; quoted phrases remain hard constraints.
+    Same single-exchange positional plan as search_topk_mixed — the prefix
+    only widens the In(term, ...) pruned scan by the expansion set."""
+    parsed0 = {qid: parse_mixed_query_prefix(q) for qid, q in queries}
+    parsed0 = {
+        qid: pfl for qid, pfl in parsed0.items() if pfl[0] or pfl[1] or pfl[2]
+    }
+    if not parsed0:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    expansions = _prefix_term_dfs(
+        spark, index, {p for _, _, p in parsed0.values() if p}, max_expansions
+    )
+    n_docs = float(index.n_docs)
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    dfm = index.df_map(spark)
+    parsed: dict[int, tuple[list[list[str]], list[str]]] = {}
+    pairs: list[tuple[int, str, float]] = []
+    for qid, (phrases_q, free_q, prefix) in parsed0.items():
+        exp = sorted(expansions.get(prefix, {})) if prefix else []
+        all_free = list(dict.fromkeys(free_q + exp))
+        terms_q = {t for toks in phrases_q for t in toks} | set(all_free)
+        if dfm is not None:
+            if any(t not in dfm for toks in phrases_q for t in toks):
+                continue  # OOV phrase term: query can never match
+            kept = sorted(t for t in terms_q if t in dfm)
+            pairs.extend((qid, t, _driver_idf(n_docs, dfm[t])) for t in kept)
+        else:
+            # expansion dfs came from the term_dict scan; other terms ride
+            # the NaN/use_dfm=False broadcast-join path
+            pairs.extend((qid, t, float("nan")) for t in sorted(terms_q))
+        parsed[qid] = (phrases_q, all_free)
+    if not pairs or not parsed:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_mixed_prefix_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_mixed_prefix: per query, the term set
+    is the exact free/phrase terms UNION every vocabulary term with the
+    final-word prefix (LIKE 'p%'); phrases constrain via the space-join
+    LIKE; BM25 over all matching terms present."""
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    branches = []
+    for qid, q in queries:
+        phrases_q, free_q, prefix = parse_mixed_query_prefix(q)
+        exact_terms = sorted({t for toks in phrases_q for t in toks} | set(free_q))
+        if not exact_terms and not prefix:
+            continue
+        parts = []
+        if exact_terms:
+            vals = ", ".join(f"('{t}')" for t in exact_terms)
+            parts.append(f"SELECT term FROM (VALUES {vals}) v(term)")
+        if prefix:
+            parts.append(f"SELECT term FROM vocab WHERE term LIKE '{prefix}%'")
+        term_set = " UNION ".join(parts)
+        if phrases_q:
+            conds = " AND ".join(
+                "' ' || array_to_string(tk.t, ' ') || ' ' LIKE '% "
+                + " ".join(toks) + " %'"
+                for toks in phrases_q
+            )
+            match = f"SELECT tk.doc_id FROM tk WHERE {conds}"
+        else:
+            match = (
+                f"SELECT DISTINCT tdt.doc_id FROM tdt WHERE tdt.term IN ({term_set})"
+            )
+        branches.append(f"""
+  SELECT {qid} AS query_id, m.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM ({match}) m
+  JOIN tdt ON tdt.doc_id = m.doc_id AND tdt.term IN ({term_set})
+  JOIN ts ON ts.term = tdt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN cs
+  GROUP BY m.doc_id""")
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+vocab AS (SELECT DISTINCT term FROM tdt),
+scored AS ({' UNION ALL '.join(branches)})
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # shared-decode phrase batch — each distinct position block ships ONCE per
 # batch regardless of how many phrase queries reference its term (the
 # production batch-serving shape, mirroring search_topk_shared)

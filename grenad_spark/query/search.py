@@ -2017,3 +2017,144 @@ def search_topk_fuzzy_ranked(
         .filter(F.col("rn") <= int(k))
         .select("query_id", "doc_id", "hit_terms", "typos", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# synonyms + stop words — the everyday Meilisearch query-rewrite features
+# (configured per index; Meilisearch applies both BEFORE its ranking rules)
+# ---------------------------------------------------------------------------
+
+def search_topk_synonyms(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    mode: str = "wand",
+) -> DataFrame:
+    """Synonym expansion (Meilisearch single-word synonyms): each query term
+    rewrites to itself plus its configured synonyms; expansions score as
+    ordinary disjuncts through the standard serving kernel. The rewrite is a
+    driver-side dict lookup — zero extra jobs, the In(term) pruned scan just
+    widens by the synonym set. Synonyms absent from the vocabulary
+    contribute nothing (no posting blocks), exactly like OOV query terms."""
+    pairs: list[tuple[int, str]] = []
+    seen: set[tuple[int, str]] = set()
+    for qid, term in _tokenize_queries(queries):
+        for t in [term, *synonyms.get(term, [])]:
+            if (qid, t) not in seen:
+                seen.add((qid, t))
+                pairs.append((qid, t))
+    if not pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    return _search_from_pairs(spark, index, pairs, k, mode)
+
+
+def sql_synonyms_topk(
+    queries: list[tuple[int, str]],
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for search_topk_synonyms: the rewrite map as a VALUES
+    relation joined to the raw query terms (identity edges included)."""
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS, sql_queries_values
+
+    qterms = sorted({t for _, t in _tokenize_queries(queries)})
+    edges = sorted(
+        {(t, t) for t in qterms}
+        | {(t, s) for t in qterms for s in synonyms.get(t, [])}
+    )
+    syn_vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+rawq AS (
+  SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS qterm
+  FROM {sql_queries_values(queries)}
+),
+syn AS (SELECT * FROM (VALUES {syn_vals}) AS s(qterm, term)),
+qt AS (
+  SELECT DISTINCT r.query_id, s.term
+  FROM rawq r JOIN syn s ON s.qterm = r.qterm
+  WHERE r.qterm <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def search_topk_stopwords(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    stop_words: set[str],
+    k: int = 10,
+) -> DataFrame:
+    """Stop-word removal with the WORDS-rule interaction: stop words drop
+    from the query BEFORE slot counting, so `the fast join` ranks docs by
+    coverage of {fast, join} only (a doc with both outranks a doc with one
+    plus 'the'). Delegates to the words-rule kernel over the filtered
+    queries; a query of only stop words returns no rows (Meilisearch keeps
+    placeholder search for the fully-empty query; a contentless query here
+    is defined to match nothing). (query_id, doc_id, hit_terms, score)."""
+    import re
+
+    filtered: list[tuple[int, str]] = []
+    for qid, q in queries:
+        toks = [
+            t
+            for t in re.split(TOKEN_SPLIT_RE, q.lower())
+            if t and t not in stop_words
+        ]
+        if toks:
+            filtered.append((qid, " ".join(toks)))
+    if not filtered:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, hit_terms int, score double"
+        )
+    return search_topk_words(spark, index, filtered, k=k)
+
+
+def sql_stopwords_topk(
+    queries: list[tuple[int, str]],
+    stop_words: set[str],
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for search_topk_stopwords: the words-rule oracle with
+    the stop set filtered out of the query-term relation."""
+    from grenad_spark.query.bm25 import bm25_words_oracle_sql
+
+    stop_vals = ", ".join(f"('{s}')" for s in sorted(stop_words))
+    base = bm25_words_oracle_sql(queries, k)
+    # the qt clause sits on its own line ("\n  ) WHERE ..."); the tdt CTE
+    # contains the same text inline, which this anchored needle skips
+    needle = "\n  ) WHERE term <> ''"
+    if base.count(needle) != 1:  # guard the splice against oracle refactors
+        raise RuntimeError("words-oracle qt clause not found exactly once")
+    return base.replace(
+        needle,
+        "\n  ) WHERE term <> '' "
+        f"AND term NOT IN (SELECT s FROM (VALUES {stop_vals}) v(s))",
+    )

@@ -495,6 +495,63 @@ def test_phrase_paths_large_vocab_fallback(spark, phrase_index, monkeypatch):
     monkeypatch.delattr(idx, "_df_map", raising=False)  # don't leak None to later tests
 
 
+def test_mixed_prefix_matches_bruteforce(spark, phrase_index):
+    """Final-word-prefix semantics: the last free term expands against the
+    vocabulary (LIKE p%) unless the query ends with a quote; expansions rank
+    as disjuncts; phrases stay constraints."""
+    import math
+
+    from grenad_spark.query.phrase import (
+        parse_mixed_query_prefix,
+        search_topk_mixed_prefix,
+    )
+
+    idx, rows = phrase_index
+    queries = [
+        (1, "gamma ze"),            # prefix 'ze' -> zeta
+        (2, '"alpha beta" e'),      # phrase + prefix 'e' -> eps/eta
+        (3, "d"),                   # bare prefix -> delta
+        (4, 'gamma "zeta eta"'),    # ends with quote: no prefix
+        (5, "nosuchprefix"),        # prefix with zero expansions => empty
+    ]
+    got = search_topk_mixed_prefix(spark, idx, queries, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+
+    toks_by_doc = {d: t.split() for d, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(t) for t in toks_by_doc.values()) / n_docs
+    df = {}
+    for t in toks_by_doc.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+
+    for qid, q in queries:
+        phrases, free, prefix = parse_mixed_query_prefix(q)
+        exp = sorted(w for w in df if prefix and w.startswith(prefix))
+        all_terms = sorted(
+            {w for p in phrases for w in p} | set(free) | set(exp)
+        )
+        expect = {}
+        for doc_id, t in toks_by_doc.items():
+            if phrases and not all(
+                any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
+                for p in phrases
+            ):
+                continue
+            present = [w for w in all_terms if w in t]
+            if not present:
+                continue
+            s = 0.0
+            for w in present:
+                tf = t.count(w)
+                idf = math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+            expect[doc_id] = round(s, 4)
+        assert by_q.get(qid, {}) == expect, (qid, q)
+
+
 def test_phrase_shared_equals_per_query(spark, phrase_index):
     """Decode-once phrase batch must return exactly the per-query plan's
     results (multi-block, multi-shard fixture; large k so no truncation

@@ -445,3 +445,33 @@ def test_distinct_attr_semantics(spark, docs_small, index_small):
     for qid, doc_ids in expect_sorted.items():
         top = sorted(doc_ids, key=lambda d: (-chars[d], d))[:20]
         assert got_sorted.get(qid, set()) == {(d, chars[d]) for d in top}, qid
+
+
+def test_synonyms_equal_rewritten_disjuncts(spark, index_small):
+    """Synonym expansion must equal the plain disjunctive search over the
+    rewritten query strings (the rewrite is the whole feature); an OOV
+    synonym must be a no-op."""
+    from grenad_spark.query.search import search_topk_synonyms
+
+    syn = {"fast": ["slow"], "merge": ["zzznope"]}
+    qs = [(1, "the fast"), (2, "merge sort")]
+    rewritten = [(1, "the fast slow"), (2, "merge zzznope sort")]
+    a = _norm(search_topk_synonyms(spark, index_small, qs, syn, k=20))
+    b = _norm(search_topk(spark, index_small, rewritten, k=20, mode="wand"))
+    assert a == b and len(a) > 0
+
+
+def test_stopwords_drop_interacts_with_words_rule(spark, index_small):
+    """Stop words drop BEFORE slot counting; an all-stop query matches
+    nothing."""
+    from grenad_spark.query.search import search_topk_stopwords, search_topk_words
+
+    stop = {"the", "a"}
+    qs = [(1, "the fast join"), (2, "the a"), (3, "a dup")]
+    got = search_topk_stopwords(spark, index_small, qs, stop, k=20)
+    rows = got.collect()
+    assert all(r.query_id != 2 for r in rows)  # all-stop query: no rows
+    expect = search_topk_words(
+        spark, index_small, [(1, "fast join"), (3, "dup")], k=20
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
