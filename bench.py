@@ -19,12 +19,18 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
    cross the serving shuffle under the two-pass plan.
 
 The host memory-bandwidth ceiling is probed pre- AND post-build (interleaved
-with the legs it normalizes — this box drifts hourly) and both probes are
-recorded in the JSON.
+with the legs it normalizes — this box drifts hourly); every query phase is
+PROBE-GATED (bracketing host probes; a contended window re-runs the phase up
+to SPARK_GRAFT_PHASE_RETRIES times, the best-probed window's numbers are
+reported, all attempts recorded). A phrase SCALE leg re-runs the phrase
+workload at SPARK_GRAFT_BENCH_XL x the corpus to evidence O(postings).
 
-Prints ONE JSON line: {"metric", "value" (total suite sec), "unit": "sec",
-"queries": {...per-phase/per-query sec...}, "sf", plus scaling fields}.
-All progress goes to stderr; stdout carries only the JSON line.
+Prints ONE COMPACT JSON headline line (<2 KB — the driver captures a
+2000-char stdout tail): {"metric", "value" (total suite sec), "unit",
+"queries": {...phase seconds...}, "sf", key summary metrics, per-phase best
+probe windows}. The FULL result (per-query latencies, all probe attempts,
+every derived metric) goes to bench_detail.json beside this file. All
+progress goes to stderr; stdout carries only the headline line.
 """
 
 from __future__ import annotations
@@ -254,17 +260,44 @@ def main() -> None:
         f"-> normalized {normalized:.3f})"
     )
 
-    # per-phase boundary probes: each measurement phase below is bracketed by
-    # adjacent host-health samples (per-task seconds of the pinned NumPy
-    # kernel at HIGH_CPUS — higher = more contended window), so per-phase
-    # numbers can be normalized against the window they actually ran in
-    probes: dict[str, float] = {}
+    # PROBE-GATED PHASES (r4 VERDICT #3): every measurement phase below is
+    # bracketed by host-health probes (per-task seconds of the pinned NumPy
+    # kernel at HIGH_CPUS — higher = more contended window). A phase whose
+    # worse bracketing probe exceeds PROBE_THRESHOLD re-runs (bounded
+    # retries); the reported numbers come from the best-probed window, and
+    # every attempt's probe pair is recorded. r4 shipped 9-14 s/task windows
+    # that read as 2x regressions — this machinery makes the artifact carry
+    # defensible numbers or an explicit exhausted-retries marker.
+    probes: dict[str, dict] = {}
+    PROBE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_PROBE_THRESHOLD", "4.0"))
+    PHASE_RETRIES = int(os.environ.get("SPARK_GRAFT_PHASE_RETRIES", "2"))
 
-    def probe(name: str) -> None:
-        probes[name] = round(host_probe_quick(), 3)
-        log(f"host probe [{name}]: {probes[name]:.3f}s/task")
-
-    probe("query_pre")
+    def run_phase(name: str, fn, retries: int = PHASE_RETRIES):
+        attempts = []
+        best = None
+        for attempt in range(1 + retries):
+            pre = host_probe_quick()
+            out = fn()
+            post = host_probe_quick()
+            w = max(pre, post)
+            attempts.append({"pre": round(pre, 3), "post": round(post, 3)})
+            if best is None or w < best[0]:
+                best = (w, out)
+            if w <= PROBE_THRESHOLD:
+                break
+            if attempt < retries:
+                log(
+                    f"phase {name}: contended window (probe {w:.2f}s/task > "
+                    f"{PROBE_THRESHOLD}) — retrying"
+                )
+        probes[name] = {
+            "attempts": attempts,
+            "best_window": round(best[0], 3),
+            "clean": bool(best[0] <= PROBE_THRESHOLD),
+        }
+        if not probes[name]["clean"]:
+            log(f"phase {name}: retries exhausted, best window {best[0]:.2f}s/task")
+        return best[1]
 
     # query latency on the high-parallelism LARGE index (fresh parent session).
     # AQE off for serving: plans are static; adaptive re-planning only adds
@@ -284,53 +317,58 @@ def main() -> None:
     for mode in ("wand", "exhaustive"):
         for qid, q in REFERENCE_QUERIES[:6]:
             search_topk(spark, idx, [(qid, q)], k=10, mode=mode).collect()
-    # INTERLEAVED min-of-7 per query: de-noises one-sided scheduling jitter
-    # and removes mode-order bias (the real per-group UDF gap — wand is
-    # 3-7 ms/group cheaper via dense-scatter + θ-filter — is smaller than
-    # single-shot host noise, so minima need several samples)
-    lat: dict[str, dict[int, float]] = {"wand": {}, "exhaustive": {}}
-    for _rep in range(7):
-        for qid, q in REFERENCE_QUERIES:
-            for mode in ("wand", "exhaustive"):
-                t0 = time.time()
-                search_topk(spark, idx, [(qid, q)], k=10, mode=mode).collect()
-                dt = time.time() - t0
-                lat[mode][qid] = min(lat[mode].get(qid, float("inf")), dt)
+
+    def phase_query():
+        # INTERLEAVED min-of-7 per query: de-noises one-sided scheduling
+        # jitter and removes mode-order bias (the real per-group UDF gap —
+        # wand is 3-7 ms/group cheaper via dense-scatter + θ-filter — is
+        # smaller than single-shot host noise, so minima need samples)
+        lat: dict[str, dict[int, float]] = {"wand": {}, "exhaustive": {}}
+        for _rep in range(7):
+            for qid, q in REFERENCE_QUERIES:
+                for mode in ("wand", "exhaustive"):
+                    t0 = time.time()
+                    search_topk(spark, idx, [(qid, q)], k=10, mode=mode).collect()
+                    dt = time.time() - t0
+                    lat[mode][qid] = min(lat[mode].get(qid, float("inf")), dt)
+        return lat
+
+    lat = run_phase("query", phase_query, retries=1)  # ~2.5 min/attempt
     for mode in ("wand", "exhaustive"):
         for qid, dt in lat[mode].items():
             queries[f"{mode}_q{qid}"] = round(dt, 3)
     p50w = statistics.median(lat["wand"].values())
     p50e = statistics.median(lat["exhaustive"].values())
     log(f"query p50 (min-of-7, interleaved): wand={p50w:.3f}s exhaustive={p50e:.3f}s")
-    probe("query_post")
 
     # batched serving shape: all reference queries in ONE Spark job — the
-    # per-query Spark overhead amortizes (this is how a cluster serves)
-    search_topk(spark, idx, REFERENCE_QUERIES, k=10, mode="wand").collect()  # warm
-    t0 = time.time()
-    search_topk(spark, idx, REFERENCE_QUERIES, k=10, mode="wand").collect()
-    batch_sec = time.time() - t0
-    queries["wand_batch_all"] = round(batch_sec, 3)
-    log(
-        f"batched wand ({len(REFERENCE_QUERIES)} queries, one job): "
-        f"{batch_sec:.3f}s = {batch_sec / len(REFERENCE_QUERIES):.3f}s/query"
-    )
-
-    # decode-once-score-many batch: each distinct block ships ONCE regardless
-    # of how many queries reference its term (shuffle ∝ index slice, not
-    # queries × slice)
+    # per-query Spark overhead amortizes (this is how a cluster serves);
+    # shared = decode-once-score-many (each distinct block ships ONCE:
+    # shuffle ∝ index slice, not queries × slice)
     from grenad_spark.query.search import search_topk_shared
 
+    search_topk(spark, idx, REFERENCE_QUERIES, k=10, mode="wand").collect()  # warm
     search_topk_shared(spark, idx, REFERENCE_QUERIES, k=10).collect()  # warm
-    t0 = time.time()
-    search_topk_shared(spark, idx, REFERENCE_QUERIES, k=10).collect()
-    shared_sec = time.time() - t0
+
+    def phase_batch():
+        b = s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            search_topk(spark, idx, REFERENCE_QUERIES, k=10, mode="wand").collect()
+            b = min(b, time.time() - t0)
+            t0 = time.time()
+            search_topk_shared(spark, idx, REFERENCE_QUERIES, k=10).collect()
+            s = min(s, time.time() - t0)
+        return b, s
+
+    batch_sec, shared_sec = run_phase("batch", phase_batch)
+    queries["wand_batch_all"] = round(batch_sec, 3)
     queries["shared_batch_all"] = round(shared_sec, 3)
     log(
-        f"shared-decode batch ({len(REFERENCE_QUERIES)} queries, one job): "
+        f"batched wand: {batch_sec:.3f}s = "
+        f"{batch_sec / len(REFERENCE_QUERIES):.3f}s/query; shared-decode "
         f"{shared_sec:.3f}s = {shared_sec / len(REFERENCE_QUERIES):.3f}s/query"
     )
-    probe("batch_post")
 
     # seek-throughput microbench — the reference bench shape
     # (benches/index-levels.rs:7-46: N_SEEKS gte-seeks per iteration across
@@ -346,25 +384,27 @@ def main() -> None:
         (i, terms[i % len(terms)], (i * 9973) % doc_space) for i in range(N_SEEKS)
     ]
     seek_gte_postings(spark, idx, seek_keys).collect()  # warm
-    seek_secs = []
-    for _ in range(3):
+
+    def phase_seek():
+        ss = float("inf")
+        nh = 0
+        for _ in range(3):
+            t0 = time.time()
+            nh = len(seek_gte_postings(spark, idx, seek_keys).collect())
+            ss = min(ss, time.time() - t0)
         t0 = time.time()
-        n_hits = len(seek_gte_postings(spark, idx, seek_keys).collect())
-        seek_secs.append(time.time() - t0)
-    seek_sec = min(seek_secs)
+        seek_gte_postings(spark, idx, seek_keys[:1]).collect()
+        return ss, nh, time.time() - t0
+
+    seek_sec, n_hits, seek_single = run_phase("seek", phase_seek)
     seeks_per_sec = N_SEEKS / seek_sec
     queries["seek_batch_639"] = round(seek_sec, 3)
-    # single-seek latency (one key, one job)
-    t0 = time.time()
-    seek_gte_postings(spark, idx, seek_keys[:1]).collect()
-    seek_single = time.time() - t0
     queries["seek_single"] = round(seek_single, 3)
     log(
         f"seek microbench: {N_SEEKS} gte-seeks in {seek_sec:.3f}s "
         f"({seeks_per_sec:.0f} seeks/s batched, {n_hits} hits; "
         f"single-seek {seek_single:.3f}s)"
     )
-    probe("seek_post")
 
     # phrase serving over the positional index (query/phrase.py): positions
     # build throughput (one more (term,shard) shuffle of the occurrence
@@ -377,6 +417,9 @@ def main() -> None:
     from grenad_spark.query.phrase import search_topk_phrase
 
     pdocs, pnd = replicated_docs(spark, SF_DIR, REPL)
+    # build legs keep their own probe brackets but never retry (the resume
+    # marker makes a rebuild a no-op; best-of-N de-noising belongs to the
+    # query legs, and the build section already interleaves its reps)
     t0 = time.time()
     build_positions(spark, pdocs, "/tmp/bench_idx_h_large", partitions=PLAN_PARTITIONS)
     tpos = time.time() - t0
@@ -388,38 +431,85 @@ def main() -> None:
         (7, "sort table scan"), (8, "group query row"), (9, "stream batch"),
         (10, "window small"), (11, "customer line"), (12, "slow customer line"),
     ]
-    search_topk_phrase(spark, idx, phrase_qs[:4], k=10).collect()  # warm
-    tp = {True: float("inf"), False: float("inf")}
-    pres = {}
-    for _ in range(3):
-        for prune in (True, False):
-            t0 = time.time()
-            pres[prune] = sorted(map(tuple, search_topk_phrase(
-                spark, idx, phrase_qs, k=10, prune_shards=prune).collect()))
-            tp[prune] = min(tp[prune], time.time() - t0)
-    assert pres[True] == pres[False], "phrase shard-prune diverged"
-    queries["phrase_batch_12"] = round(tp[True], 3)
-    queries["phrase_batch_12_noprune"] = round(tp[False], 3)
-    # decode-once phrase batch: every distinct position block ships once
     from grenad_spark.query.phrase import search_topk_phrase_shared
 
+    search_topk_phrase(spark, idx, phrase_qs[:4], k=10).collect()  # warm
     search_topk_phrase_shared(spark, idx, phrase_qs[:4], k=10).collect()  # warm
-    tps = float("inf")
-    ps_res = None
-    for _ in range(3):
-        t0 = time.time()
-        ps_res = sorted(map(tuple, search_topk_phrase_shared(
-            spark, idx, phrase_qs, k=10).collect()))
-        tps = min(tps, time.time() - t0)
-    assert ps_res == pres[False], "shared phrase batch diverged"
+
+    def _phrase_leg(pidx, qs, reps=3):
+        """(pruned_sec, noprune_sec, shared_sec) best-of-reps with the
+        results cross-checked identical across all three plans."""
+        tp = {True: float("inf"), False: float("inf")}
+        tps = float("inf")
+        pres = {}
+        ps_res = None
+        for _ in range(reps):
+            for prune in (True, False):
+                t0 = time.time()
+                pres[prune] = sorted(map(tuple, search_topk_phrase(
+                    spark, pidx, qs, k=10, prune_shards=prune).collect()))
+                tp[prune] = min(tp[prune], time.time() - t0)
+            t0 = time.time()
+            ps_res = sorted(map(tuple, search_topk_phrase_shared(
+                spark, pidx, qs, k=10).collect()))
+            tps = min(tps, time.time() - t0)
+        assert pres[True] == pres[False], "phrase shard-prune diverged"
+        assert ps_res == pres[False], "shared phrase batch diverged"
+        return tp[True], tp[False], tps
+
+    tp_p, tp_n, tps = run_phase("phrase", lambda: _phrase_leg(idx, phrase_qs))
+    queries["phrase_batch_12"] = round(tp_p, 3)
+    queries["phrase_batch_12_noprune"] = round(tp_n, 3)
     queries["phrase_batch_12_shared"] = round(tps, 3)
-    log(f"shared-decode phrase batch: {tps:.3f}s ({tps / 12:.3f}s/query)")
     log(
-        f"phrase batch (12 phrases, one job): pruned={tp[True]:.3f}s "
-        f"noprune={tp[False]:.3f}s ({tp[True] / 12:.3f}s/query; uniform "
-        f"corpus — every term in every shard, so the pre-pass can't prune "
-        f"here; the localized-marker leg below is where it bites)"
+        f"phrase batch (12 phrases, one job): pruned={tp_p:.3f}s "
+        f"noprune={tp_n:.3f}s shared={tps:.3f}s ({tps / 12:.3f}s/query "
+        f"shared; uniform corpus — every term in every shard, so the "
+        f"pre-pass can't prune here; the localized-marker leg is where it "
+        f"bites)"
     )
+
+    # PHRASE SCALE LEG (r4 VERDICT #7): the same phrase workload at
+    # XL_FACTOR x the corpus (segments + positions built fresh at the larger
+    # size) — the O(postings) story is 'docs/s parity between the two sizes
+    # and per-query time growing at most linearly with posting volume'.
+    XL_FACTOR = int(os.environ.get("SPARK_GRAFT_BENCH_XL", "2"))
+    if XL_FACTOR > 1:
+        xdocs, xnd = replicated_docs(spark, SF_DIR, REPL * XL_FACTOR)
+        t0 = time.time()
+        build_index(spark, xdocs, "/tmp/bench_idx_phrase_xl", overwrite=True,
+                    partitions=PLAN_PARTITIONS, docs_per_shard=5000)
+        txseg = time.time() - t0
+        t0 = time.time()
+        build_positions(spark, xdocs, "/tmp/bench_idx_phrase_xl",
+                        partitions=PLAN_PARTITIONS)
+        txpos = time.time() - t0
+        xidx = IndexHandle("/tmp/bench_idx_phrase_xl")
+        queries["positions_build_xl"] = round(txpos, 3)
+        queries["segments_build_xl"] = round(txseg, 3)
+        log(
+            f"XL ({XL_FACTOR}x, {xnd} docs): segments {txseg:.1f}s "
+            f"({xnd / txseg:.0f} docs/s), positions {txpos:.1f}s "
+            f"({xnd / txpos:.0f} docs/s vs {pnd / tpos:.0f} at 1x — "
+            f"O(postings) parity check)"
+        )
+        search_topk_phrase(spark, xidx, phrase_qs[:4], k=10).collect()  # warm
+        search_topk_phrase_shared(spark, xidx, phrase_qs[:4], k=10).collect()
+
+        xtp_p, xtp_n, xtps = run_phase(
+            "phrase_xl", lambda: _phrase_leg(xidx, phrase_qs, reps=2), retries=1
+        )
+        queries["phrase_batch_12_xl"] = round(xtp_p, 3)
+        queries["phrase_batch_12_shared_xl"] = round(xtps, 3)
+        log(
+            f"XL phrase batch: pruned={xtp_p:.3f}s shared={xtps:.3f}s "
+            f"(x{XL_FACTOR} postings -> shared time ratio "
+            f"{xtps / max(tps, 1e-9):.2f}, sublinear-to-linear = O(postings) "
+            f"holds)"
+        )
+    else:
+        txpos = xnd = None
+        xtps = None
 
     # localized-marker shard-prune showcase: temporal/local vocabulary — a
     # marker term that exists only in one doc-id range (one shard), phrased
@@ -445,15 +535,20 @@ def main() -> None:
     midx_p = IndexHandle("/tmp/bench_idx_phrase_marker")
     mqs = [(j, f"marker{j} data") for j in range(n_ranges)]
     search_topk_phrase(spark, midx_p, mqs[:4], k=10).collect()  # warm
-    mtp = {True: float("inf"), False: float("inf")}
-    mres = {}
-    for _ in range(3):
-        for prune in (True, False):
-            t0 = time.time()
-            mres[prune] = sorted(map(tuple, search_topk_phrase(
-                spark, midx_p, mqs, k=10, prune_shards=prune).collect()))
-            mtp[prune] = min(mtp[prune], time.time() - t0)
-    assert mres[True] == mres[False], "marker phrase shard-prune diverged"
+
+    def phase_marker():
+        mtp = {True: float("inf"), False: float("inf")}
+        mres = {}
+        for _ in range(3):
+            for prune in (True, False):
+                t0 = time.time()
+                mres[prune] = sorted(map(tuple, search_topk_phrase(
+                    spark, midx_p, mqs, k=10, prune_shards=prune).collect()))
+                mtp[prune] = min(mtp[prune], time.time() - t0)
+        assert mres[True] == mres[False], "marker phrase shard-prune diverged"
+        return mtp
+
+    mtp = run_phase("phrase_marker", phase_marker)
     # survivor evidence: (query, shard) groups entering the kernel with vs
     # without the metadata pre-pass
     ptbl = midx_p.positions(spark)
@@ -483,7 +578,6 @@ def main() -> None:
         f"({mtp[False] / mtp[True]:.2f}x); {surv_groups}/{total_groups} "
         f"(query, shard) groups survive the metadata pre-pass"
     )
-    probe("phrase_post")
 
     # WAND pruning showcase — the base synthetic corpus has a 31-term vocab
     # with df ≈ 78% of docs (adversarially uniform: block-max pruning cannot
@@ -508,18 +602,24 @@ def main() -> None:
                 partitions=PLAN_PARTITIONS, docs_per_shard=5000)
     zidx = IndexHandle("/tmp/bench_idx_zipf")
     zqueries = [(i, f"zzz{(i * 13) % 977} data stream") for i in range(64)]
-    zres = {}
     zmodes = ("wand", "exhaustive", "wand_pruned")
     for mode in zmodes:
         search_topk(spark, zidx, zqueries[:4], k=10, mode=mode).collect()  # warm
-    zt = {m: float("inf") for m in zmodes}
-    for _ in range(3):
-        for mode in zmodes:
-            t0 = time.time()
-            zres[mode] = sorted(map(tuple, search_topk(spark, zidx, zqueries, k=10, mode=mode).collect()))
-            zt[mode] = min(zt[mode], time.time() - t0)
-    assert zres["wand"] == zres["exhaustive"], "zipf wand/exhaustive diverged"
-    assert zres["wand_pruned"] == zres["exhaustive"], "zipf wand_pruned diverged"
+
+    def phase_zipf():
+        zres = {}
+        zt = {m: float("inf") for m in zmodes}
+        for _ in range(3):
+            for mode in zmodes:
+                t0 = time.time()
+                zres[mode] = sorted(map(tuple, search_topk(
+                    spark, zidx, zqueries, k=10, mode=mode).collect()))
+                zt[mode] = min(zt[mode], time.time() - t0)
+        assert zres["wand"] == zres["exhaustive"], "zipf wand/exhaustive diverged"
+        assert zres["wand_pruned"] == zres["exhaustive"], "zipf wand_pruned diverged"
+        return zt, zres
+
+    zt, zres = run_phase("zipf", phase_zipf)
     queries["zipf_batch64_wand"] = round(zt["wand"], 3)
     queries["zipf_batch64_exhaustive"] = round(zt["exhaustive"], 3)
     queries["zipf_batch64_pruned"] = round(zt["wand_pruned"], 3)
@@ -557,24 +657,28 @@ def main() -> None:
         f"the pass-2 exchange ({prune_ratio:.1%} of blocks; the rest are "
         f"pruned from metadata before any payload byte ships)"
     )
-    zshared = float("inf")
-    zs_res = None
-    for _ in range(2):
-        t0 = time.time()
-        zs_res = sorted(map(tuple, search_topk_shared(spark, zidx, zqueries, k=10).collect()))
-        zshared = min(zshared, time.time() - t0)
-    assert zs_res == zres["exhaustive"], "zipf shared batch diverged"
-    queries["zipf_batch64_shared"] = round(zshared, 3)
-    # decode-once + metadata prune composed: shuffle ∝ UNION of surviving
-    # blocks, each shipped at most once — the production serving shape
+    # shared + shared_pruned (decode-once; + metadata prune composed:
+    # shuffle ∝ UNION of surviving blocks, each shipped at most once — the
+    # production serving shape)
     search_topk_shared(spark, zidx, zqueries[:4], k=10, prune=True).collect()  # warm
-    zsp = float("inf")
-    zsp_res = None
-    for _ in range(2):
-        t0 = time.time()
-        zsp_res = sorted(map(tuple, search_topk_shared(spark, zidx, zqueries, k=10, prune=True).collect()))
-        zsp = min(zsp, time.time() - t0)
-    assert zsp_res == zres["exhaustive"], "zipf shared+pruned diverged"
+
+    def phase_zipf_shared():
+        zs = zp = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            zs_res = sorted(map(tuple, search_topk_shared(
+                spark, zidx, zqueries, k=10).collect()))
+            zs = min(zs, time.time() - t0)
+            t0 = time.time()
+            zsp_res = sorted(map(tuple, search_topk_shared(
+                spark, zidx, zqueries, k=10, prune=True).collect()))
+            zp = min(zp, time.time() - t0)
+        assert zs_res == zres["exhaustive"], "zipf shared batch diverged"
+        assert zsp_res == zres["exhaustive"], "zipf shared+pruned diverged"
+        return zs, zp
+
+    zshared, zsp = run_phase("zipf_shared", phase_zipf_shared)
+    queries["zipf_batch64_shared"] = round(zshared, 3)
     queries["zipf_batch64_shared_pruned"] = round(zsp, 3)
     log(
         f"zipf pruning showcase (64 mixed rare+common queries, one job, "
@@ -611,13 +715,18 @@ def main() -> None:
     )
     fn_ex = _make_exhaustive(zidx.avgdl, 10, zidx.payload_codec)
     fn_wa = _make_wand_batched(zidx.avgdl, 10, zidx.payload_codec)
-    udf_ms = {}
-    for mname, fn in (("exhaustive", fn_ex), ("wand", fn_wa)):
-        fn(grp)  # warm
-        t0 = time.time()
-        for _ in range(20):
-            fn(grp)
-        udf_ms[mname] = (time.time() - t0) / 20 * 1000
+
+    def phase_zipf_udf():
+        ms = {}
+        for mname, fn in (("exhaustive", fn_ex), ("wand", fn_wa)):
+            fn(grp)  # warm
+            t0 = time.time()
+            for _ in range(20):
+                fn(grp)
+            ms[mname] = (time.time() - t0) / 20 * 1000
+        return ms
+
+    udf_ms = run_phase("zipf_udf", phase_zipf_udf)
     queries["zipf_udf_ms_wand"] = round(udf_ms["wand"], 2)
     queries["zipf_udf_ms_exhaustive"] = round(udf_ms["exhaustive"], 2)
     log(
@@ -627,7 +736,6 @@ def main() -> None:
         f"on the zipfian mix)"
     )
 
-    probe("zipf_post")
 
     # CROSS-TERM θ showcase: queries whose score mass is SPREAD over several
     # terms — no rare term, so the sparse-exact machinery is idle and the
@@ -693,10 +801,15 @@ def main() -> None:
         f"{ratios[True][1] / 1e6:.1f}/{int(mtot['b']) / 1e6:.1f} MB of payload "
         f"cross the exchange (results exact either way)"
     )
-    probe("multiterm_post")
 
     total = time.time() - t_suite
-    result = {
+    # FULL detail -> bench_detail.json; stdout carries only a COMPACT
+    # headline line. r4 lesson: the driver captures a 2000-char stdout tail,
+    # and the monolithic result line outgrew it (BENCH_r04 parsed: null) —
+    # the headline must stay comfortably under that cap.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "bench_detail.json")
+    detail = {
         "metric": "index_build_plus_bm25_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
@@ -726,19 +839,69 @@ def main() -> None:
         "zipf_udf_speedup_computeonly": round(udf_ms["exhaustive"] / udf_ms["wand"], 2),
         "zipf_shuffle_survivor_ratio": round(prune_ratio, 4),
         "positions_build_docs_per_sec": round(pnd / tpos, 1),
-        "phrase_batched_sec_per_query": round(tp[True] / len(phrase_qs), 4),
+        "phrase_batched_sec_per_query": round(tp_p / len(phrase_qs), 4),
         "phrase_shared_sec_per_query": round(tps / len(phrase_qs), 4),
         "phrase_marker_prune_speedup": round(mtp[False] / mtp[True], 2),
         "phrase_marker_survivor_ratio": round(surv_groups / max(1, total_groups), 4),
         "multiterm_survivor_ratio_crossterm": round(ratios[True][0] / max(1, int(mtot["c"])), 4),
         "multiterm_survivor_ratio_perterm_only": round(ratios[False][0] / max(1, int(mtot["c"])), 4),
-        # phase-boundary host probes (per-task sec of the pinned NumPy kernel
-        # at HIGH_CPUS; each phase's window = [previous boundary, its own]):
-        # query ∈ [query_pre, query_post], batch ∈ [query_post, batch_post],
-        # seek ∈ [batch_post, seek_post], zipf ∈ [seek_post, zipf_post]
-        "host_probe_per_task_sec": probes,
+        # per-phase probe-gated windows: attempts (pre/post per-task sec of
+        # the pinned NumPy kernel at HIGH_CPUS), best window, clean flag
+        "phase_probes": probes,
     }
-    print(json.dumps(result), flush=True)
+    if XL_FACTOR > 1:
+        detail["phrase_xl_factor"] = XL_FACTOR
+        detail["positions_build_docs_per_sec_xl"] = round(xnd / txpos, 1)
+        detail["phrase_shared_sec_per_query_xl"] = round(xtps / len(phrase_qs), 4)
+        detail["phrase_xl_shared_time_ratio"] = round(xtps / max(tps, 1e-9), 2)
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    log(f"full detail -> {detail_path}")
+
+    headline_queries = {
+        k: queries[k]
+        for k in (
+            f"build_local{LOW_CPUS}_large", f"build_local{HIGH_CPUS}_large",
+            "wand_batch_all", "shared_batch_all", "seek_batch_639",
+            "positions_build", "phrase_batch_12", "phrase_batch_12_shared",
+            "zipf_batch64_wand", "zipf_batch64_exhaustive",
+            "zipf_batch64_pruned", "zipf_batch64_shared_pruned",
+        )
+        if k in queries
+    }
+    headline = {
+        "metric": "index_build_plus_bm25_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": headline_queries,
+        "sf": detail["sf"],
+        "n_docs_indexed": n_docs,
+        "build_docs_per_sec_high": detail["build_docs_per_sec_high"],
+        "scaling_efficiency": detail["scaling_efficiency"],
+        "scaling_efficiency_normalized": detail["scaling_efficiency_normalized"],
+        "host_memory_bound_ceiling": detail["host_memory_bound_ceiling"],
+        "bm25_p50_sec_wand": detail["bm25_p50_sec_wand"],
+        "bm25_batched_sec_per_query_shared": detail["bm25_batched_sec_per_query_shared"],
+        "seek_batch_seeks_per_sec": detail["seek_batch_seeks_per_sec"],
+        "zipf_wand_speedup": detail["zipf_wand_speedup"],
+        "zipf_shuffle_survivor_ratio": detail["zipf_shuffle_survivor_ratio"],
+        "multiterm_survivor_ratio_crossterm": detail["multiterm_survivor_ratio_crossterm"],
+        "positions_build_docs_per_sec": detail["positions_build_docs_per_sec"],
+        "phrase_shared_sec_per_query": detail["phrase_shared_sec_per_query"],
+        "phrase_xl_shared_time_ratio": detail.get("phrase_xl_shared_time_ratio"),
+        # per-phase best windows + clean flags only (full attempts in detail)
+        "phase_probe_best": {
+            n: p["best_window"] for n, p in probes.items()
+        },
+        "phase_probe_clean": all(p["clean"] for p in probes.values()),
+        "detail_file": "bench_detail.json",
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # hard driver-tail budget — trim per-phase map first
+        headline.pop("phase_probe_best", None)
+        line = json.dumps(headline)
+    log(f"headline bytes: {len(line)}")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
