@@ -1085,6 +1085,35 @@ def q_bm25_mixed_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_mixed_prefix(spark, idx, _MIXED_PREFIX_QUERIES, k=10)
 
 
+# typo tolerance INSIDE mixed queries (quotes stay literal, final word stays
+# prefix-only — the Meilisearch interplay): typo'd free terms alongside
+# phrase constraints and a prefix
+_MIXED_FUZZY_QUERIES = [
+    (1, 'spakr "merge sort"'),   # typo'd free term + trailing phrase
+    (2, 'dupp wind'),            # typo'd free term + prefix 'wind'
+    (3, '"key value" strem ba'), # phrase + typo'd free + prefix
+    (4, "vektor scan"),          # typo + prefix that is also an exact term
+]
+
+from grenad_spark.query.phrase import sql_mixed_fuzzy_topk as _sql_mixed_fuzzy  # noqa: E402
+
+
+@register("bm25_topk_mixed_fuzzy", _sql_mixed_fuzzy(_MIXED_FUZZY_QUERIES, max_edits=1))
+def q_bm25_mixed_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed queries with typo tolerance on the non-final free terms
+    (persisted bigram-table expansion), prefix on the final word, literal
+    phrases — the full Meilisearch query-string interplay."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.phrase import search_topk_mixed_prefix
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_mixed_prefix(
+        spark, idx, _MIXED_FUZZY_QUERIES, k=10, max_edits=1
+    )
+
+
 @register("bm25_topk_proximity", _sql_prox(bm25.PROX_QUERIES))
 def q_bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity-ranked conjunctive search (the Meilisearch proximity rule)
@@ -1493,9 +1522,10 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_GATE_ORDER = [
     # build stream + stats (Sorter input, partial+final agg)
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats", "postings",
-    # reader/cursor family (point/seek/prefix/range, batched block descent)
-    "point_lookup", "seek_gte_batch", "prefix_scan", "range_scan",
-    "first_last_key",
+    # reader/cursor family (point/seek/range, batched block descent;
+    # prefix_scan demoted — pure JVM startswith over term_stats, the real
+    # prefix machinery is the gated bm25_topk_prefix)
+    "point_lookup", "seek_gte_batch", "range_scan", "first_last_key",
     # BM25 serving paths (pruned/composed modes + expansion + LSM read path)
     "bm25_topk_wand_pruned", "bm25_topk_shared_pruned", "bm25_topk_with_docs",
     "bm25_topk_prefix", "bm25_topk_fuzzy", "bm25_topk_fuzzy2",
@@ -1509,7 +1539,7 @@ _DRIVER_GATE_ORDER = [
     # round-5 additions (debut round => gate window; names are appended here
     # by the round-5 feature commits as each query registers)
     "bm25_topk_ranked", "bm25_topk_attr_rule", "bm25_topk_mixed_prefix",
-    "bm25_topk_synonyms", "bm25_topk_stopwords",
+    "bm25_topk_mixed_fuzzy", "bm25_topk_synonyms", "bm25_topk_stopwords",
     # index roundtrip + full Merger/compaction chains
     "term_dict", "term_dict_compacted", "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1)
@@ -1532,7 +1562,7 @@ _OVERFLOW_ORDER = [
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",
     "events_hourly_rollup", "events_sessionize", "events_topk_per_type",
-    "extract_text_invariant", "seek_gte",
+    "extract_text_invariant", "seek_gte", "prefix_scan",
     "dedup_exact_groups", "dedup_exact_keep_first", "dedup_prefix_groups",
     "dedup_simhash", "decontaminate_docs",
     # long-standing overflow (subsets / re-rankings / pure JVM projections);

@@ -955,12 +955,19 @@ def search_topk_mixed_prefix(
     queries: list[tuple[int, str]],
     k: int = 10,
     max_expansions: int | None = None,
+    max_edits: int = 0,
 ) -> DataFrame:
     """search_topk_mixed + Meilisearch's final-word-prefix rule: the last
     free term of each query expands against the term dictionary and the
     expansions rank as disjuncts; quoted phrases remain hard constraints.
     Same single-exchange positional plan as search_topk_mixed — the prefix
-    only widens the In(term, ...) pruned scan by the expansion set."""
+    only widens the In(term, ...) pruned scan by the expansion set.
+
+    max_edits > 0 additionally applies TYPO TOLERANCE to the non-final free
+    terms (Meilisearch applies typos inside mixed queries but disables them
+    inside quoted phrases and serves the still-being-typed final word by
+    prefix alone — both mirrored here): each such term expands via the
+    persisted bigram/SymSpell tables, expansions scoring as disjuncts."""
     parsed0 = {qid: parse_mixed_query_prefix(q) for qid, q in queries}
     parsed0 = {
         qid: pfl for qid, pfl in parsed0.items() if pfl[0] or pfl[1] or pfl[2]
@@ -970,6 +977,18 @@ def search_topk_mixed_prefix(
     expansions = _prefix_term_dfs(
         spark, index, {p for _, _, p in parsed0.values() if p}, max_expansions
     )
+    fuzzy_exp: dict[int, list[str]] = {}
+    if max_edits > 0:
+        from grenad_spark.query.search import expand_fuzzy_queries
+
+        fq = [
+            (qid, " ".join(free_q))
+            for qid, (_, free_q, _) in parsed0.items()
+            if free_q
+        ]
+        if fq:
+            for qid, term in expand_fuzzy_queries(spark, index, fq, max_edits):
+                fuzzy_exp.setdefault(qid, []).append(term)
     n_docs = float(index.n_docs)
     avgdl = float(index.avgdl)
     codec = index.payload_codec
@@ -978,7 +997,7 @@ def search_topk_mixed_prefix(
     pairs: list[tuple[int, str, float]] = []
     for qid, (phrases_q, free_q, prefix) in parsed0.items():
         exp = sorted(expansions.get(prefix, {})) if prefix else []
-        all_free = list(dict.fromkeys(free_q + exp))
+        all_free = list(dict.fromkeys(free_q + sorted(fuzzy_exp.get(qid, [])) + exp))
         terms_q = {t for toks in phrases_q for t in toks} | set(all_free)
         if dfm is not None:
             if any(t not in dfm for toks in phrases_q for t in toks):
@@ -1025,6 +1044,78 @@ def sql_mixed_prefix_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
         if exact_terms:
             vals = ", ".join(f"('{t}')" for t in exact_terms)
             parts.append(f"SELECT term FROM (VALUES {vals}) v(term)")
+        if prefix:
+            parts.append(f"SELECT term FROM vocab WHERE term LIKE '{prefix}%'")
+        term_set = " UNION ".join(parts)
+        if phrases_q:
+            conds = " AND ".join(
+                "' ' || array_to_string(tk.t, ' ') || ' ' LIKE '% "
+                + " ".join(toks) + " %'"
+                for toks in phrases_q
+            )
+            match = f"SELECT tk.doc_id FROM tk WHERE {conds}"
+        else:
+            match = (
+                f"SELECT DISTINCT tdt.doc_id FROM tdt WHERE tdt.term IN ({term_set})"
+            )
+        branches.append(f"""
+  SELECT {qid} AS query_id, m.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM ({match}) m
+  JOIN tdt ON tdt.doc_id = m.doc_id AND tdt.term IN ({term_set})
+  JOIN ts ON ts.term = tdt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN cs
+  GROUP BY m.doc_id""")
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+vocab AS (SELECT DISTINCT term FROM tdt),
+scored AS ({' UNION ALL '.join(branches)})
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def sql_mixed_fuzzy_topk(
+    queries: list[tuple[int, str]], k: int = 10, max_edits: int = 1
+) -> str:
+    """DuckDB oracle for search_topk_mixed_prefix(max_edits>0): per query,
+    the scoring term set = phrase terms (literal — typos disabled inside
+    quotes) UNION levenshtein-<=max_edits expansions of the non-final free
+    terms UNION the final-word prefix LIKE expansion."""
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    branches = []
+    for qid, q in queries:
+        phrases_q, free_q, prefix = parse_mixed_query_prefix(q)
+        phrase_terms = sorted({t for toks in phrases_q for t in toks})
+        if not phrase_terms and not free_q and not prefix:
+            continue
+        parts = []
+        if phrase_terms:
+            vals = ", ".join(f"('{t}')" for t in phrase_terms)
+            parts.append(f"SELECT term FROM (VALUES {vals}) v(term)")
+        if free_q:
+            fvals = ", ".join(f"('{t}')" for t in sorted(set(free_q)))
+            parts.append(
+                f"SELECT v.term FROM vocab v JOIN (VALUES {fvals}) f(q) "
+                f"ON abs(length(v.term) - length(f.q)) <= {max_edits} "
+                f"AND levenshtein(v.term, f.q) <= {max_edits}"
+            )
         if prefix:
             parts.append(f"SELECT term FROM vocab WHERE term LIKE '{prefix}%'")
         term_set = " UNION ".join(parts)

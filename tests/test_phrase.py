@@ -552,6 +552,72 @@ def test_mixed_prefix_matches_bruteforce(spark, phrase_index):
         assert by_q.get(qid, {}) == expect, (qid, q)
 
 
+def test_mixed_fuzzy_matches_bruteforce(spark, phrase_index):
+    """Typo tolerance INSIDE mixed queries: non-final free terms expand to
+    levenshtein-<=1 vocabulary matches; phrases stay literal; the final
+    word stays prefix-only."""
+    import math
+
+    from grenad_spark.query.phrase import (
+        parse_mixed_query_prefix,
+        search_topk_mixed_prefix,
+    )
+
+    idx, rows = phrase_index
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    queries = [
+        (1, 'alpa "zeta eta"'),   # typo'd free (alpha) + trailing phrase
+        (2, "gama delt"),         # typo'd free + prefix 'delt' -> delta
+        (3, '"alpha beta" zta e'),  # phrase + typo'd free (zeta) + prefix
+    ]
+    got = search_topk_mixed_prefix(spark, idx, queries, k=10**6, max_edits=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+
+    toks_by_doc = {d: t.split() for d, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(t) for t in toks_by_doc.values()) / n_docs
+    df = {}
+    for t in toks_by_doc.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+
+    for qid, q in queries:
+        phrases, free, prefix = parse_mixed_query_prefix(q)
+        fuzzy = {v for f in free for v in df if lev(v, f) <= 1}
+        exp = {w for w in df if prefix and w.startswith(prefix)}
+        all_terms = sorted(
+            {w for p in phrases for w in p} | set(free) | fuzzy | exp
+        )
+        expect = {}
+        for doc_id, t in toks_by_doc.items():
+            if phrases and not all(
+                any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
+                for p in phrases
+            ):
+                continue
+            present = [w for w in all_terms if w in t]
+            if not present:
+                continue
+            s = 0.0
+            for w in present:
+                tf = t.count(w)
+                idf = math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+            expect[doc_id] = round(s, 4)
+        assert by_q.get(qid, {}) == expect, (qid, q)
+
+
 def test_phrase_shared_equals_per_query(spark, phrase_index):
     """Decode-once phrase batch must return exactly the per-query plan's
     results (multi-block, multi-shard fixture; large k so no truncation

@@ -189,6 +189,25 @@ def test_ranked_exact_match_dominates(spark, fielded_index):
                 assert not seen_typo, "0-typo doc ranked below a typo'd doc"
 
 
+def test_ranked_plan_shape(spark, fielded_index):
+    """The composed pipeline keeps the house serving-plan shape: the
+    positions scan carries a pushed In(term) filter over the expansion set,
+    scans ONLY the positions table, and has exactly one shuffle exchange
+    into the kernel (plus the top-k window's)."""
+    from grenad_spark.query.ranked import search_topk_ranked
+
+    idx, _rows = fielded_index
+    df = search_topk_ranked(spark, idx, [(1, "alpha beta")], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan, plan
+    import re as _re
+
+    scans = _re.findall(r"Location:.*", plan)
+    assert scans and all("positions" in s for s in scans), scans
+    # term_dict is served from the driver df-map, never scanned per query
+    assert "term_dict" not in plan, plan
+
+
 def test_field_overflow_rejected(spark, tmp_path):
     from grenad_spark.index.build import build_index
     from grenad_spark.index.positions import build_positions

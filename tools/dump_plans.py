@@ -194,6 +194,37 @@ def main() -> None:
         )
     )
 
+    from grenad_spark.entrypoints import build_or_get_fielded_index
+    from grenad_spark.query.phrase import search_topk_mixed_prefix
+    from grenad_spark.query.ranked import search_topk_ranked
+
+    fidx = build_or_get_fielded_index(spark, sf)
+    sections.append(
+        (
+            "Serving: composed ranking pipeline (words→typo→proximity→attribute→exactness→relevance)",
+            "Must show: ONE positions scan with a pushed In(term) filter over "
+            "the (typo-expanded) derivation set; no term_dict scan (idf from "
+            "the driver df-map); ONE Exchange into the rule kernel computing "
+            "every tier; the lexicographic rank window after. Field ids ride "
+            "the positions' high bits — no extra column, no extra scan.",
+            plan_str(search_topk_ranked(spark, fidx, [(1, "spark window")], k=10)),
+        )
+    )
+    sections.append(
+        (
+            "Serving: mixed query with last-word-prefix expansion",
+            "Must show: the SAME single-positional-scan shape as mixed — the "
+            "prefix expansion only widens the In(term) list (expansion "
+            "resolved by one a-priori pruned term_dict range scan, not part "
+            "of this per-query plan).",
+            plan_str(
+                search_topk_mixed_prefix(
+                    spark, idx, [(1, 'dup "merge sort" spar')], k=10
+                )
+            ),
+        )
+    )
+
     from grenad_spark.operators.dedup import minhash_lsh_pairs
 
     sections.append(
