@@ -511,6 +511,56 @@ def main() -> None:
         txpos = xnd = None
         xtps = None
 
+    # field-aware composed-pipeline serving leg (round 5): fielded positions
+    # (title/body split) on a repl/4 corpus, then the full ranked pipeline
+    # (words→typo→proximity→attribute→exactness→relevance — typo expansion
+    # included) and the attribute rule as 8-query batches.
+    from grenad_spark.corpus import fielded_docs
+    from grenad_spark.query.ranked import search_topk_attr_rule, search_topk_ranked
+
+    small_repl = max(1, REPL // 4)
+    rdocs, rnd = replicated_docs(spark, SF_DIR, small_repl)
+    build_index(spark, rdocs, "/tmp/bench_idx_fielded", overwrite=True,
+                partitions=PLAN_PARTITIONS, docs_per_shard=5000)
+    t0 = time.time()
+    build_positions(spark, fielded_docs(rdocs), "/tmp/bench_idx_fielded",
+                    partitions=PLAN_PARTITIONS, fields=["title", "body"])
+    tfpos = time.time() - t0
+    fidx = IndexHandle("/tmp/bench_idx_fielded")
+    queries["positions_build_fielded"] = round(tfpos, 3)
+    log(
+        f"fielded positions build ({rnd} docs): {tfpos:.1f}s "
+        f"({rnd / tfpos:.0f} docs/s — fid packing must not change the "
+        f"O(tokens) build story)"
+    )
+    ranked_qs = [
+        (1, "data stream"), (2, "merge sort"), (3, "the fast join"),
+        (4, "spark window"), (5, "big table"), (6, "key value"),
+        (7, "hash join order"), (8, "filter column row"),
+    ]
+    search_topk_ranked(spark, fidx, ranked_qs[:2], k=10).collect()  # warm
+    search_topk_attr_rule(spark, fidx, ranked_qs[:2], k=10).collect()  # warm
+
+    def phase_ranked():
+        tr = ta = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            search_topk_ranked(spark, fidx, ranked_qs, k=10).collect()
+            tr = min(tr, time.time() - t0)
+            t0 = time.time()
+            search_topk_attr_rule(spark, fidx, ranked_qs, k=10).collect()
+            ta = min(ta, time.time() - t0)
+        return tr, ta
+
+    tr, ta = run_phase("ranked", phase_ranked, retries=1)
+    queries["ranked_batch_8"] = round(tr, 3)
+    queries["attr_batch_8"] = round(ta, 3)
+    log(
+        f"composed-pipeline batch (8 queries, typo expansion incl.): "
+        f"{tr:.3f}s = {tr / len(ranked_qs):.3f}s/query; attribute rule "
+        f"{ta:.3f}s = {ta / len(ranked_qs):.3f}s/query"
+    )
+
     # localized-marker shard-prune showcase: temporal/local vocabulary — a
     # marker term that exists only in one doc-id range (one shard), phrased
     # with a corpus-wide head term. The metadata pre-pass intersects the
@@ -849,6 +899,9 @@ def main() -> None:
         # the pinned NumPy kernel at HIGH_CPUS), best window, clean flag
         "phase_probes": probes,
     }
+    detail["positions_build_fielded_docs_per_sec"] = round(rnd / tfpos, 1)
+    detail["ranked_sec_per_query"] = round(tr / len(ranked_qs), 4)
+    detail["attr_rule_sec_per_query"] = round(ta / len(ranked_qs), 4)
     if XL_FACTOR > 1:
         detail["phrase_xl_factor"] = XL_FACTOR
         detail["positions_build_docs_per_sec_xl"] = round(xnd / txpos, 1)
@@ -864,6 +917,7 @@ def main() -> None:
             f"build_local{LOW_CPUS}_large", f"build_local{HIGH_CPUS}_large",
             "wand_batch_all", "shared_batch_all", "seek_batch_639",
             "positions_build", "phrase_batch_12", "phrase_batch_12_shared",
+            "ranked_batch_8",
             "zipf_batch64_wand", "zipf_batch64_exhaustive",
             "zipf_batch64_pruned", "zipf_batch64_shared_pruned",
         )
@@ -888,6 +942,7 @@ def main() -> None:
         "multiterm_survivor_ratio_crossterm": detail["multiterm_survivor_ratio_crossterm"],
         "positions_build_docs_per_sec": detail["positions_build_docs_per_sec"],
         "phrase_shared_sec_per_query": detail["phrase_shared_sec_per_query"],
+        "ranked_sec_per_query": detail["ranked_sec_per_query"],
         "phrase_xl_shared_time_ratio": detail.get("phrase_xl_shared_time_ratio"),
         # per-phase best windows + clean flags only (full attempts in detail)
         "phase_probe_best": {

@@ -26,6 +26,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--compression", default="zstd")
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional table (phrase/proximity/mixed/"
+        "snippet serving; ~doubles build cost)",
+    )
+    ap.add_argument(
+        "--position-fields", default=None,
+        help="comma-separated text columns for FIELD-AWARE positions "
+        "(attribute/exactness rules; e.g. 'title,body'); implies --positions",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,6 +53,19 @@ def main(argv: list[str] | None = None) -> None:
         overwrite=args.overwrite,
         compression=args.compression,
     )
+    if args.positions or args.position_fields:
+        from grenad_spark.index.build import IndexHandle
+        from grenad_spark.index.positions import build_positions
+
+        fields = (
+            [f.strip() for f in args.position_fields.split(",") if f.strip()]
+            if args.position_fields
+            else None
+        )
+        build_positions(
+            spark, docs, args.output, partitions=args.partitions, fields=fields
+        )
+        idx = IndexHandle(args.output)  # manifest picks up the stage
     print(json.dumps({k: v for k, v in idx.manifest.items() if k != "segment_files"}))
 
 

@@ -26,19 +26,40 @@ def main(argv: list[str] | None = None) -> None:
             "wand", "wand_pruned", "exhaustive", "wand_cursor",
             "shared", "shared_pruned", "auto",
             "fuzzy", "fuzzy2", "prefix", "and",
+            "phrase", "phrase_shared", "proximity", "mixed", "mixed_prefix",
+            "ranked", "attr",
         ],
         help="wand_pruned = two-pass metadata prune (shuffle ∝ surviving "
         "blocks — pick when the exchange is network-bound); shared[_pruned] "
         "= decode-once-score-many batch; auto = per-batch gate on the "
         "measured survivor ratio; fuzzy/fuzzy2 = typo-tolerant "
         "(Levenshtein ≤ 1/2 via the persisted typo tables); prefix = "
-        "trailing-* expansion; and = conjunctive",
+        "trailing-* expansion; and = conjunctive; phrase[_shared]/proximity/"
+        "mixed[_prefix] = positional serving (quoted phrases constrain, "
+        "mixed_prefix treats the final word as a prefix, --max-edits adds "
+        "typos on free terms); ranked = the composed Meilisearch default "
+        "pipeline, attr = attribute rule (both need field-aware positions)",
     )
     ap.add_argument(
         "--max-expansions", type=int, default=None,
-        help="prefix mode: cap each prefix to its top-df expansions "
-        "(default exhaustive; serving tiers facing web vocabularies "
-        "should set one, e.g. 128)",
+        help="prefix/mixed_prefix modes: cap each prefix to its top-df "
+        "expansions (default exhaustive; serving tiers facing web "
+        "vocabularies should set one, e.g. 128)",
+    )
+    ap.add_argument(
+        "--max-edits", type=int, default=0,
+        help="mixed_prefix: typo tolerance on non-final free terms; "
+        "ranked: derivation edit budget (default 1 there)",
+    )
+    ap.add_argument(
+        "--synonyms", default=None,
+        help='JSON map term -> [synonyms], applied as a query rewrite '
+        '(e.g. \'{"fast": ["quick"]}\')',
+    )
+    ap.add_argument(
+        "--stop-words", default=None,
+        help="comma-separated stop words dropped from queries before the "
+        "words rule",
     )
     args = ap.parse_args(argv)
 
@@ -50,6 +71,59 @@ def main(argv: list[str] | None = None) -> None:
 
     idx = IndexHandle(args.index)
     queries = list(enumerate(args.query, start=1))
+    if args.stop_words:
+        from grenad_spark.query.search import search_topk_stopwords
+
+        stop = {s.strip().lower() for s in args.stop_words.split(",") if s.strip()}
+        res = search_topk_stopwords(spark, idx, queries, stop, k=args.k)
+        for row in res.collect():
+            print(f"q{row['query_id']}\t{row['doc_id']}\t{row['score']:.4f}")
+        return
+    if args.synonyms:
+        import json as _json
+
+        from grenad_spark.query.search import search_topk_synonyms
+
+        res = search_topk_synonyms(
+            spark, idx, queries, _json.loads(args.synonyms), k=args.k
+        )
+        for row in res.collect():
+            print(f"q{row['query_id']}\t{row['doc_id']}\t{row['score']:.4f}")
+        return
+    if args.mode in ("phrase", "phrase_shared", "proximity", "mixed",
+                     "mixed_prefix"):
+        from grenad_spark.query import phrase as ph
+
+        if args.mode == "phrase":
+            res = ph.search_topk_phrase(spark, idx, queries, k=args.k)
+        elif args.mode == "phrase_shared":
+            res = ph.search_topk_phrase_shared(spark, idx, queries, k=args.k)
+        elif args.mode == "proximity":
+            res = ph.search_topk_proximity(spark, idx, queries, k=args.k)
+        elif args.mode == "mixed":
+            res = ph.search_topk_mixed(spark, idx, queries, k=args.k)
+        else:
+            res = ph.search_topk_mixed_prefix(
+                spark, idx, queries, k=args.k,
+                max_expansions=args.max_expansions, max_edits=args.max_edits,
+            )
+        for row in res.collect():
+            cols = [str(row[c]) for c in res.columns if c not in ("query_id",)]
+            print(f"q{row['query_id']}\t" + "\t".join(cols))
+        return
+    if args.mode in ("ranked", "attr"):
+        from grenad_spark.query import ranked as rk
+
+        if args.mode == "ranked":
+            res = rk.search_topk_ranked(
+                spark, idx, queries, k=args.k, max_edits=args.max_edits or 1
+            )
+        else:
+            res = rk.search_topk_attr_rule(spark, idx, queries, k=args.k)
+        for row in res.collect():
+            cols = [str(row[c]) for c in res.columns if c != "query_id"]
+            print(f"q{row['query_id']}\t" + "\t".join(cols))
+        return
     if args.mode in ("shared", "shared_pruned"):
         # decode-once-score-many: best shape for multi-query batches
         from grenad_spark.query.search import search_topk_shared

@@ -189,6 +189,16 @@ def test_ranked_exact_match_dominates(spark, fielded_index):
                 assert not seen_typo, "0-typo doc ranked below a typo'd doc"
 
 
+def test_ranked_oov_queries_empty(spark, fielded_index):
+    """A query with no in-vocabulary derivation returns no rows (ranked);
+    a conjunctive attr query with one OOV term can never match."""
+    from grenad_spark.query.ranked import search_topk_attr_rule, search_topk_ranked
+
+    idx, _rows = fielded_index
+    assert search_topk_ranked(spark, idx, [(1, "qqqqqqqq")], k=5).count() == 0
+    assert search_topk_attr_rule(spark, idx, [(1, "alpha qqqqqqqq")], k=5).count() == 0
+
+
 def test_ranked_plan_shape(spark, fielded_index):
     """The composed pipeline keeps the house serving-plan shape: the
     positions scan carries a pushed In(term) filter over the expansion set,
