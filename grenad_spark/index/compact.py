@@ -379,7 +379,15 @@ def compact_indexes(
     # for m:1 geometry merges), only dirty shards decode → newest-gen-wins →
     # re-encode. Mixed availability degrades to "no positions" (phrase
     # serving would be silently wrong for the gap generations otherwise).
-    has_pos = all(h.has_positions() for h in handles)
+    # FIELD-AWARE positions merge transparently (the fid rides inside the
+    # pos value, which decode/re-encode preserve) — but only when every
+    # generation used the SAME field configuration: mixing fielded and
+    # unfielded (or differently-fielded) generations would make position
+    # values semantically inconsistent across the logical corpus, so that
+    # also degrades to "no positions".
+    field_cfgs = {tuple(h.manifest.get("position_fields") or ()) for h in handles}
+    pos_fields = list(next(iter(field_cfgs))) if len(field_cfgs) == 1 else None
+    has_pos = all(h.has_positions() for h in handles) and len(field_cfgs) == 1
     if not has_pos:
         # a REUSED output dir (e.g. the streaming scratch dir) may hold a
         # positions table from an earlier, crashed compaction of a DIFFERENT
@@ -454,6 +462,7 @@ def compact_indexes(
         "copied_blocks": int(copied_blocks),
         "decoded_blocks": int(dirty_blocks),
         "has_positions": has_pos,
+        **({"position_fields": pos_fields} if has_pos and pos_fields else {}),
         "segment_files": [
             {"file": f, "bytes": os.path.getsize(os.path.join(seg_path, f))}
             for f in sorted(os.listdir(seg_path))

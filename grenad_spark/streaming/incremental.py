@@ -49,6 +49,7 @@ def incremental_index_stream(
     n_shards: int = 4,
     max_generations: int = MAX_GENERATIONS,
     with_positions: bool = False,
+    fielded_positions: bool = False,
 ):
     """Start (availableNow) a stream that turns each micro-batch of docs into
     a generation index; auto-compacts when generations pile up. Returns the
@@ -58,7 +59,12 @@ def incremental_index_stream(
     (index/positions.py), so phrase/proximity serving works over the live
     generation set (search_topk_phrase_fresh) and through auto-compaction
     (compact_indexes merges positions whenever every input generation
-    carries them)."""
+    carries them).
+
+    fielded_positions (implies with_positions): generations get FIELD-AWARE
+    positions over the canonical title/body split (corpus.fielded_docs), so
+    attribute/exactness serving works on the compacted result; compaction
+    propagates position_fields when every generation agrees."""
     os.makedirs(index_root, exist_ok=True)
 
     live_dir = os.path.join(index_root, "_live")
@@ -113,10 +119,18 @@ def incremental_index_stream(
         build_index(
             batch_df.sparkSession, batch_df, out, n_shards=n_shards, overwrite=True
         )
-        if with_positions:
+        if with_positions or fielded_positions:
             from grenad_spark.index.positions import build_positions
 
-            build_positions(batch_df.sparkSession, batch_df, out)
+            if fielded_positions:
+                from grenad_spark.corpus import fielded_docs
+
+                build_positions(
+                    batch_df.sparkSession, fielded_docs(batch_df), out,
+                    fields=["title", "body"],
+                )
+            else:
+                build_positions(batch_df.sparkSession, batch_df, out)
         gens = generation_paths(index_root)
         if len(gens) < max_generations:
             # not compacting this batch: fold the new generation in now.

@@ -443,3 +443,62 @@ def test_streaming_incremental_with_positions(spark, docs_small, tmp_path):
     assert merged.has_positions()
     comp = sorted(map(tuple, search_topk_phrase(spark, merged, qs, k=10).collect()))
     assert comp == direct
+
+
+def test_streaming_incremental_fielded_positions(spark, docs_small, tmp_path):
+    """fielded_positions=True: every streamed generation carries FIELD-AWARE
+    positions (title/body split), auto-compaction propagates
+    position_fields, and attribute serving on the compacted result equals a
+    direct fielded build."""
+    from grenad_spark.corpus import fielded_docs
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.ranked import search_topk_attr_rule
+    from grenad_spark.streaming.incremental import (
+        generation_paths,
+        incremental_index_stream,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i in range(2):
+        (
+            docs_small.filter(F.col("doc_id") % 2 == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(f"{stream_dir}/part{i}")
+        )
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/part*/part-*.parquet"))):
+        shutil.move(f, f"{stream_dir}/batch{i}.parquet")
+    for i in range(2):
+        shutil.rmtree(f"{stream_dir}/part{i}")
+
+    index_root = str(tmp_path / "idx")
+    q = incremental_index_stream(
+        spark, stream_dir, index_root, str(tmp_path / "ckpt"), n_shards=2,
+        fielded_positions=True,
+    )
+    q.awaitTermination(180)
+    gens = generation_paths(index_root)
+    assert len(gens) == 2
+    assert all(
+        IndexHandle(g).manifest.get("position_fields") == ["title", "body"]
+        for g in gens
+    )
+    merged = compact_indexes(spark, gens, str(tmp_path / "cf"))
+    assert merged.manifest.get("position_fields") == ["title", "body"]
+
+    mono_dir = str(tmp_path / "monof")
+    build_index(spark, docs_small.select("doc_id", "text"), mono_dir, n_shards=2)
+    build_positions(
+        spark, fielded_docs(docs_small), mono_dir, fields=["title", "body"]
+    )
+    direct = IndexHandle(mono_dir)
+    qs = [(1, "dup spark"), (2, "the fast")]
+    a = sorted(map(tuple, search_topk_attr_rule(spark, merged, qs, k=10**6).collect()))
+    b = sorted(map(tuple, search_topk_attr_rule(spark, direct, qs, k=10**6).collect()))
+    assert a == b and len(a) > 0

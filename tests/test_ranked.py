@@ -218,6 +218,61 @@ def test_ranked_plan_shape(spark, fielded_index):
     assert "term_dict" not in plan, plan
 
 
+def test_fielded_positions_through_compaction(spark, tmp_path):
+    """Compacting generations that all carry the SAME field configuration
+    must propagate position_fields (attr serving keeps working, results
+    identical to a direct fielded build); generations with MISMATCHED field
+    configs degrade to no-positions rather than serving inconsistent
+    position semantics."""
+    from grenad_spark.index.build import build_index
+    from grenad_spark.index.compact import compact_indexes
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.ranked import search_topk_attr_rule
+
+    rng = np.random.default_rng(53)
+    rows = _mk_fielded_corpus(rng, 150)
+    all_rows = [
+        (d, " ".join(t), " ".join(b), " ".join(t) + " " + " ".join(b))
+        for d, t, b in rows
+    ]
+    schema = "doc_id long, title string, body string, text string"
+    gens = []
+    for i in range(2):
+        part = [r for r in all_rows if r[0] % 2 == i]
+        docs = spark.createDataFrame(part, schema)
+        g = str(tmp_path / f"gen{i}")
+        build_index(spark, docs.select("doc_id", "text"), g, n_shards=3)
+        build_positions(spark, docs, g, fields=["title", "body"])
+        gens.append(g)
+    merged = compact_indexes(spark, gens, str(tmp_path / "merged"))
+    assert merged.manifest.get("position_fields") == ["title", "body"]
+    assert merged.has_positions()
+
+    direct_dir = str(tmp_path / "direct")
+    docs_all = spark.createDataFrame(all_rows, schema)
+    build_index(
+        spark, docs_all.select("doc_id", "text"), direct_dir,
+        n_shards=merged.n_shards,
+    )
+    build_positions(spark, docs_all, direct_dir, fields=["title", "body"])
+    from grenad_spark.index.build import IndexHandle
+
+    direct = IndexHandle(direct_dir)  # fresh handle: manifest has the fields
+    qs = [(1, "alpha beta"), (2, "gamma")]
+    a = sorted(map(tuple, search_topk_attr_rule(spark, merged, qs, k=10**6).collect()))
+    b = sorted(map(tuple, search_topk_attr_rule(spark, direct, qs, k=10**6).collect()))
+    assert a == b and len(a) > 0
+
+    # mismatched configs (fielded + unfielded) => positions dropped
+    g2 = str(tmp_path / "gen2")
+    docs2 = spark.createDataFrame(all_rows[:20], schema)
+    build_index(spark, docs2.select("doc_id", "text"), g2, n_shards=3)
+    build_positions(spark, docs2.select("doc_id", "text"), g2)  # unfielded
+    mixed = compact_indexes(spark, [gens[0], g2], str(tmp_path / "mixedcfg"))
+    assert not mixed.has_positions()
+    assert mixed.manifest.get("position_fields") is None
+
+
 def test_field_overflow_rejected(spark, tmp_path):
     from grenad_spark.index.build import build_index
     from grenad_spark.index.positions import build_positions
