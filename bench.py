@@ -271,8 +271,16 @@ def main() -> None:
     probes: dict[str, dict] = {}
     PROBE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_PROBE_THRESHOLD", "4.0"))
     PHASE_RETRIES = int(os.environ.get("SPARK_GRAFT_PHASE_RETRIES", "2"))
+    # global retry budget: once the suite passes this wall-clock, contended
+    # phases stop re-running (single attempt, window recorded as-is) so the
+    # suite's worst case stays bounded for the driver's timeout
+    BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
 
     def run_phase(name: str, fn, retries: int = PHASE_RETRIES):
+        if time.time() - t_suite > BENCH_BUDGET:
+            if retries:
+                log(f"phase {name}: over suite budget ({BENCH_BUDGET:.0f}s) — no retries")
+            retries = 0
         attempts = []
         best = None
         for attempt in range(1 + retries):
