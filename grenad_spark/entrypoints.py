@@ -1008,6 +1008,45 @@ def q_bm25_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_mixed(spark, idx, _MIXED_QUERIES, k=10)
 
 
+# Meilisearch filterable attributes: BM25 restricted by a boolean filter
+# over document attributes (IN-list + numeric comparison — the everyday
+# `filter:` parameter)
+_FILTER_SQL = "n_chars >= 250 AND lang IN ('en', 'de')"
+
+
+@register(
+    "bm25_topk_filtered",
+    bm25.bm25_filtered_oracle_sql(bm25.REFERENCE_QUERIES, _FILTER_SQL),
+)
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filterable-attributes serving: disjunctive BM25 top-k over docs
+    passing an attribute filter (pruned documents scan semi-joined on
+    doc_id before ranking)."""
+    from grenad_spark.query.search import search_topk_filtered
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_filtered(
+        spark, idx, _docs(spark, sf_dir), bm25.REFERENCE_QUERIES, _FILTER_SQL, k=10
+    )
+
+
+@register(
+    "facet_counts_mixed",
+    _facets.sql_facet_counts_for_mixed(_FACET_COLS, 'dup "merge sort"'),
+)
+def q_facet_counts_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets of a MIXED search: the unranked match set of the full query
+    language (phrase constraints + free terms) feeds the unpivot+count."""
+    from grenad_spark.index.positions import build_positions
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return _facets.facet_counts_for_mixed(
+        spark, idx, _docs(spark, sf_dir), 'dup "merge sort"', _FACET_COLS
+    )
+
+
 # synonyms + stop words — index-configured query rewrites applied before
 # ranking (everyday Meilisearch settings). The synonym map points at other
 # vocabulary terms (plus one deliberately-OOV synonym that must be a no-op);
@@ -1522,10 +1561,11 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_GATE_ORDER = [
     # build stream + stats (Sorter input, partial+final agg)
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats", "postings",
-    # reader/cursor family (point/seek/range, batched block descent;
-    # prefix_scan demoted — pure JVM startswith over term_stats, the real
-    # prefix machinery is the gated bm25_topk_prefix)
-    "point_lookup", "seek_gte_batch", "range_scan", "first_last_key",
+    # reader/cursor family (point/seek, batched block descent; prefix_scan/
+    # range_scan/first_last_key demoted — pure JVM filters/aggs over
+    # term_stats, the real cursor machinery is seek_gte_batch's block
+    # descent and the gated bm25_topk_prefix expansion)
+    "point_lookup", "seek_gte_batch",
     # BM25 serving paths (pruned/composed modes + expansion + LSM read path)
     "bm25_topk_wand_pruned", "bm25_topk_shared_pruned", "bm25_topk_with_docs",
     "bm25_topk_prefix", "bm25_topk_fuzzy", "bm25_topk_fuzzy2",
@@ -1540,6 +1580,7 @@ _DRIVER_GATE_ORDER = [
     # by the round-5 feature commits as each query registers)
     "bm25_topk_ranked", "bm25_topk_attr_rule", "bm25_topk_mixed_prefix",
     "bm25_topk_mixed_fuzzy", "bm25_topk_synonyms", "bm25_topk_stopwords",
+    "bm25_topk_filtered", "facet_counts_mixed",
     # index roundtrip + full Merger/compaction chains
     "term_dict", "term_dict_compacted", "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1)
@@ -1562,7 +1603,8 @@ _OVERFLOW_ORDER = [
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",
     "events_hourly_rollup", "events_sessionize", "events_topk_per_type",
-    "extract_text_invariant", "seek_gte", "prefix_scan",
+    "extract_text_invariant", "seek_gte", "prefix_scan", "range_scan",
+    "first_last_key",
     "dedup_exact_groups", "dedup_exact_keep_first", "dedup_prefix_groups",
     "dedup_simhash", "decontaminate_docs",
     # long-standing overflow (subsets / re-rankings / pure JVM projections);

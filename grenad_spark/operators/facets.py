@@ -139,3 +139,44 @@ def sql_facet_counts_for_phrase(
         f"x -> x <> ''), ' ') || ' ' LIKE '% {norm} %')"
     )
     return sql_facet_counts(facet_cols, match + " AS t")
+
+
+def facet_counts_for_mixed(
+    spark: SparkSession, index, docs: DataFrame, query: str, facet_cols: list[str]
+) -> DataFrame:
+    """Facet distribution restricted to a MIXED query's match set (quoted
+    phrases constrain; a phrase-free query matches any doc holding >=1
+    query term) — the facetDistribution shape for the full Meilisearch
+    query language. Work ∝ the query terms' posting sizes."""
+    from grenad_spark.query.phrase import mixed_matches
+
+    matched = mixed_matches(spark, index, query)
+    return facet_counts(docs.join(matched, "doc_id"), facet_cols)
+
+
+def sql_facet_counts_for_mixed(
+    facet_cols: list[str], query: str, table: str = "documents"
+) -> str:
+    import re
+
+    from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf
+    from grenad_spark.query.phrase import parse_mixed_query
+
+    phrases, free = parse_mixed_query(query)
+    if phrases:
+        conds = " AND ".join(
+            "' ' || array_to_string(list_filter(regexp_split_to_array("
+            f"lower(d.text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), ' ') || ' ' "
+            "LIKE '% " + " ".join(toks) + " %'"
+            for toks in phrases
+        )
+        match = f"(SELECT d.* FROM {table} d WHERE {conds})"
+    else:
+        terms = sorted({t for t in free})
+        vals = ", ".join(f"('{t}')" for t in terms)
+        match = (
+            f"(SELECT d.* FROM {table} d JOIN (SELECT DISTINCT doc_id FROM "
+            f"({sql_term_doc_tf(table)}) WHERE term IN (SELECT term FROM "
+            f"(VALUES {vals}) v(term))) m ON d.doc_id = m.doc_id)"
+        )
+    return sql_facet_counts(facet_cols, match + " AS t")

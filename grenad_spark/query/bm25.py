@@ -484,6 +484,43 @@ SELECT query_id, doc_id, {distinct_col}, score FROM (
 """
 
 
+def bm25_filtered_oracle_sql(
+    queries: list[tuple[int, str]],
+    filter_sql: str,
+    k: int = DEFAULT_K,
+) -> str:
+    """DuckDB oracle for search_topk_filtered: standard disjunctive BM25
+    restricted to docs satisfying `filter_sql` over the documents table."""
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+allowed AS (SELECT doc_id FROM documents WHERE {filter_sql}),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+    FROM {sql_queries_values(queries)}
+  ) WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN allowed a ON tdt.doc_id = a.doc_id
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def bm25_words_oracle_sql(
     queries: list[tuple[int, str]] | None = None, k: int = DEFAULT_K
 ) -> str:

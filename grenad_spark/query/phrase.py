@@ -779,25 +779,19 @@ def _make_mixed_kernel(parsed: dict[int, tuple], avgdl: float, codec: str):
     return fn
 
 
-def search_topk_mixed(
-    spark: SparkSession,
-    index,
-    queries: list[tuple[int, str]],
-    k: int = 10,
-) -> DataFrame:
-    """Top-k for mixed query strings — free terms + double-quoted phrases.
-    Quoted phrases are hard constraints (every phrase must appear, token-
-    adjacent); relevance is BM25 over ALL distinct query terms present in
-    the doc. A query with no quotes degrades to plain disjunctive BM25;
-    a query whose phrase contains an out-of-vocabulary term returns no
-    rows. Served entirely from the positional table (its block headers are
-    full posting blocks, so free-term scoring needs no second scan)."""
+def _mixed_per_shard(
+    spark: SparkSession, index, queries: list[tuple[int, str]]
+) -> DataFrame | None:
+    """Shared plan prefix of the mixed family: parse, OOV-phrase drop, idf
+    pairs, pruned positions scan, and the per-(query, shard) mixed kernel.
+    Returns the UNRANKED per-shard (query_id, doc_id, score) stream, or
+    None when nothing can match."""
     parsed = {qid: parse_mixed_query(q) for qid, q in queries}
     parsed = {
         qid: pf for qid, pf in parsed.items() if pf[0] or pf[1]
     }
     if not parsed:
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return None
     n_docs = float(index.n_docs)
     avgdl = float(index.avgdl)
     codec = index.payload_codec
@@ -819,13 +813,31 @@ def search_topk_mixed(
         else:
             pairs.extend((qid, t, float("nan")) for t in sorted(terms_q))
     if not pairs or not parsed:
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return None
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
-    per_shard = blocks.select(
+    return blocks.select(
         "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
     )
+
+
+def search_topk_mixed(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for mixed query strings — free terms + double-quoted phrases.
+    Quoted phrases are hard constraints (every phrase must appear, token-
+    adjacent); relevance is BM25 over ALL distinct query terms present in
+    the doc. A query with no quotes degrades to plain disjunctive BM25;
+    a query whose phrase contains an out-of-vocabulary term returns no
+    rows. Served entirely from the positional table (its block headers are
+    full posting blocks, so free-term scoring needs no second scan)."""
+    per_shard = _mixed_per_shard(spark, index, queries)
+    if per_shard is None:
+        return spark.createDataFrame([], _OUT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
@@ -833,6 +845,17 @@ def search_topk_mixed(
         .filter(F.col("rn") <= int(k))
         .select("query_id", "doc_id", "score")
     )
+
+
+def mixed_matches(spark: SparkSession, index, query: str) -> DataFrame:
+    """(doc_id) of every doc matching the mixed query — the UNRANKED match
+    set (no window, no sort): what a facet restriction consumes. Phrases
+    constrain (all must appear token-adjacently); a phrase-free query
+    matches any doc holding >=1 query term."""
+    per_shard = _mixed_per_shard(spark, index, [(1, query)])
+    if per_shard is None:
+        return spark.createDataFrame([], "doc_id long")
+    return per_shard.select("doc_id")
 
 
 def sql_mixed_topk(queries: list[tuple[int, str]], k: int = 10) -> str:

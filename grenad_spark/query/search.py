@@ -2019,6 +2019,45 @@ def search_topk_fuzzy_ranked(
     )
 
 
+def search_topk_filtered(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    filter_sql: str,
+    k: int = 10,
+) -> DataFrame:
+    """Meilisearch FILTERABLE-ATTRIBUTES serving: disjunctive BM25 top-k
+    restricted to docs satisfying a boolean filter over document attributes
+    (`filter: n_chars >= 1200 AND lang IN (...)`). The filter side is a
+    pruned documents scan (predicate pushdown, only doc_id + filter columns
+    read) semi-joined on doc_id BEFORE ranking — AQE broadcasts whichever
+    side a selective filter/rare query makes small. Meilisearch serves hot
+    filters from precomputed facet-docids grenad DBs; the facet side tables
+    (operators/facets.py) are the equivalent precomputation here.
+    (query_id, doc_id, score)."""
+    pairs = _tokenize_queries(queries)
+    if not pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(float(index.avgdl), index.payload_codec),
+        _OUT_AND_SCHEMA,
+    )
+    allowed = docs.filter(F.expr(filter_sql)).select("doc_id")
+    j = per_shard.join(allowed, "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # synonyms + stop words — the everyday Meilisearch query-rewrite features
 # (configured per index; Meilisearch applies both BEFORE its ranking rules)

@@ -57,6 +57,15 @@ def main(argv: list[str] | None = None) -> None:
         '(e.g. \'{"fast": ["quick"]}\')',
     )
     ap.add_argument(
+        "--filter", default=None,
+        help="boolean SQL filter over document attributes (filterable-"
+        "attributes serving; needs --docs)",
+    )
+    ap.add_argument(
+        "--docs", default=None,
+        help="documents parquet for --filter / attribute serving",
+    )
+    ap.add_argument(
         "--stop-words", default=None,
         help="comma-separated stop words dropped from queries before the "
         "words rule",
@@ -71,6 +80,18 @@ def main(argv: list[str] | None = None) -> None:
 
     idx = IndexHandle(args.index)
     queries = list(enumerate(args.query, start=1))
+    if args.filter:
+        from grenad_spark.query.search import search_topk_filtered
+
+        if not args.docs:
+            raise SystemExit("--filter needs --docs (the documents parquet)")
+        docs = spark.read.parquet(args.docs)
+        res = search_topk_filtered(
+            spark, idx, docs, queries, args.filter, k=args.k
+        )
+        for row in res.collect():
+            print(f"q{row['query_id']}\t{row['doc_id']}\t{row['score']:.4f}")
+        return
     if args.stop_words:
         from grenad_spark.query.search import search_topk_stopwords
 

@@ -475,3 +475,64 @@ def test_stopwords_drop_interacts_with_words_rule(spark, index_small):
         spark, index_small, [(1, "fast join"), (3, "dup")], k=20
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
+
+
+def test_filtered_search_matches_postfilter(spark, docs_small, index_small):
+    """Filterable-attributes serving == post-filtering the full disjunctive
+    match set then ranking; a tautological filter degrades to plain top-k."""
+    from grenad_spark.query.search import search_topk_filtered
+
+    qs = [(1, "dup"), (2, "the fast join")]
+    full = search_topk(spark, index_small, qs, k=10**6, mode="exhaustive").collect()
+    flt = "n_chars >= 300"
+    allowed = {
+        r.doc_id for r in docs_small.filter(flt).select("doc_id").collect()
+    }
+    got = search_topk_filtered(spark, index_small, docs_small, qs, flt, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid in (1, 2):
+        surv = [
+            (r.score, r.doc_id) for r in full
+            if r.query_id == qid and r.doc_id in allowed
+        ]
+        expect = [
+            (d, s) for s, d in sorted(surv, key=lambda t: (-t[0], t[1]))[:10]
+        ]
+        assert by_q.get(qid, []) == expect, qid
+    # filter 'true' == plain top-k
+    a = sorted(map(tuple, search_topk_filtered(
+        spark, index_small, docs_small, qs, "true", k=10).collect()))
+    b = sorted(map(tuple, search_topk(
+        spark, index_small, qs, k=10, mode="exhaustive").collect()))
+    assert a == b
+
+
+def test_facet_counts_mixed_matches_matchset(spark, docs_small, index_small):
+    """Facets of a mixed search count exactly over the mixed match set."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.operators.facets import facet_counts_for_mixed
+    from grenad_spark.query.phrase import mixed_matches
+
+    if not index_small.has_positions():
+        build_positions(
+            spark,
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            index_small.path,
+        )
+    q = 'dup "merge sort"'
+    matched = {r.doc_id for r in mixed_matches(spark, index_small, q).collect()}
+    assert matched  # the fixture corpus contains this mix
+    got = {
+        (r.facet, r.value): r.cnt
+        for r in facet_counts_for_mixed(
+            spark, index_small, docs_small, q, ["lang"]
+        ).collect()
+    }
+    rows = docs_small.select("doc_id", "lang").collect()
+    expect = {}
+    for r in rows:
+        if r.doc_id in matched:
+            expect[("lang", r.lang)] = expect.get(("lang", r.lang), 0) + 1
+    assert got == expect
