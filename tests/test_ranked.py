@@ -286,3 +286,167 @@ def test_field_overflow_rejected(spark, tmp_path):
     build_index(spark, docs.select("doc_id", "text"), out, n_shards=1)
     with pytest.raises(Exception, match="exceeds"):
         build_positions(spark, docs, out, fields=["title", "body"])
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis kernel fuzz — no Spark: build FIELDED position blocks directly,
+# SHUFFLE the block rows (regression class of the r4 multi-file row-order
+# bug), run _make_ranked_kernel as a plain function vs a brute-force oracle
+# over every rule statistic.
+# ---------------------------------------------------------------------------
+
+import pandas as _pd
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_KVOCAB = ["ab", "cd", "ef", "gh"]
+_KDERIV = _KVOCAB + [w + "x" for w in _KVOCAB]  # wx is 1 edit from w only
+
+
+def _klev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@_st.composite
+def _ranked_case(draw):
+    n_docs = draw(_st.integers(2, 18))
+    corpus = {}
+    for doc_id in range(n_docs):
+        title = [draw(_st.sampled_from(_KVOCAB))
+                 for _ in range(draw(_st.integers(1, 3)))]
+        body = [draw(_st.sampled_from(_KVOCAB))
+                for _ in range(draw(_st.integers(1, 8)))]
+        corpus[doc_id] = (title, body)
+    m = draw(_st.integers(1, 3))
+    slots = draw(
+        _st.lists(_st.sampled_from(_KDERIV), min_size=m, max_size=m, unique=True)
+    )
+    block_size = draw(_st.integers(1, 3))
+    seed = draw(_st.integers(0, 2**31 - 1))
+    return corpus, slots, block_size, seed
+
+
+def _ranked_kernel_input(corpus, terms, block_size, idfs, seed, qid=1):
+    """Kernel pandas input (shuffled rows) over FIELDED encoded positions."""
+    from grenad_spark.index.positions import encode_position_blocks
+
+    rows = []
+    for t in sorted(terms):
+        docs, tfs, dls, poss = [], [], [], []
+        for doc_id in sorted(corpus):
+            title, body = corpus[doc_id]
+            p = [i for i, w in enumerate(title) if w == t] + [
+                STRIDE + i for i, w in enumerate(body) if w == t
+            ]
+            if p:
+                docs.append(doc_id)
+                tfs.append(len(p))
+                dls.append(len(title) + len(body))
+                poss.extend(p)
+        if not docs:
+            continue
+        for n, first, last, header, ppay in encode_position_blocks(
+            np.array(docs), np.array(tfs), np.array(dls), np.array(poss),
+            block_size,
+        ):
+            rows.append((qid, 0, t, idfs[t], n, first, header, ppay))
+    pdf = _pd.DataFrame(
+        rows,
+        columns=["query_id", "shard", "term", "idf", "n", "first_doc",
+                 "header", "positions"],
+    )
+    return pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+@_given(_ranked_case())
+@_settings(max_examples=120, deadline=None)
+def test_ranked_kernel_fuzz(case):
+    from grenad_spark.query.ranked import _make_ranked_kernel
+
+    corpus, slots, block_size, seed = case
+    toks = {d: t + b for d, (t, b) in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for w in set(v):
+            df[w] = df.get(w, 0) + 1
+    derivs = {
+        s: {t: _klev(t, s) for t in sorted(df) if _klev(t, s) <= 1}
+        for s in slots
+    }
+    present_terms = sorted({t for dv in derivs.values() for t in dv})
+    idfs = {
+        t: math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in present_terms
+    }
+    slot_meta = {}
+    for t in present_terms:
+        tl = [(i, derivs[s][t]) for i, s in enumerate(slots) if t in derivs[s]]
+        if tl:
+            slot_meta.setdefault(1, {})[t] = tl
+    pdf = _ranked_kernel_input(corpus, present_terms, block_size, idfs, seed)
+
+    # brute force over every rule statistic (mirrors the module-level test)
+    expect = {}
+    for d, (title, body) in corpus.items():
+        pos = {}
+        for i, w in enumerate(title):
+            pos.setdefault(w, []).append(i)
+        for i, w in enumerate(body):
+            pos.setdefault(w, []).append(STRIDE + i)
+        matched = [s for s in slots if any(t in pos for t in derivs[s])]
+        if not matched:
+            continue
+        words = len(matched)
+        typos = sum(
+            min(dist for t, dist in derivs[s].items() if t in pos)
+            for s in matched
+        )
+        attr = sum(
+            min(p // STRIDE for t in derivs[s] if t in pos for p in pos[t])
+            for s in matched
+        )
+        exact = sum(1 for s in slots if s in pos)
+        prox = 0
+        for i in range(len(slots) - 1):
+            sa, sb = slots[i], slots[i + 1]
+            if sa not in matched or sb not in matched:
+                continue
+            cands = [
+                abs(pa - pb)
+                for ta in derivs[sa] if ta in pos
+                for tb in derivs[sb] if tb in pos
+                for pa in pos[ta]
+                for pb in pos[tb]
+                if not (ta == tb and pa == pb)
+            ]
+            if cands:
+                prox += min(cands)
+        score = round(
+            sum(
+                idfs[t] * toks[d].count(t) * 2.2
+                / (toks[d].count(t) + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) / avgdl))
+                for t in present_terms if t in pos
+            ),
+            4,
+        )
+        expect[d] = (words, typos, prox, attr, exact, score)
+
+    if pdf.empty or not slot_meta:
+        assert not expect
+        return
+    out = _make_ranked_kernel({1: slots}, slot_meta, avgdl, "none")(pdf)
+    got = {
+        int(r.doc_id): (
+            int(r.words), int(r.typos), int(r.proximity), int(r.attribute),
+            int(r.exactness), round(float(r.score), 4),
+        )
+        for r in out.itertuples()
+    }
+    assert got == expect
