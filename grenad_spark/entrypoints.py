@@ -1097,6 +1097,131 @@ def q_bm25_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_stopwords(spark, idx, _STOP_QUERIES, _STOP_WORDS, k=10)
 
 
+# negative keywords (Meilisearch v1.8 `-word` syntax) — the exclusion set
+# anti-joins BEFORE ranking so excluded docs are replaced by next-best; a
+# query of only negatives matches nothing
+_NEG_QUERIES = [
+    (1, "spark -slow"),
+    (2, "merge sort -dup"),
+    (3, "join"),                  # no negatives — control
+    (4, "data -batch -stream"),   # multiple exclusions
+    (5, "-dup"),                  # only negative => no rows
+]
+
+# matchingStrategy=last — rank buckets by longest matched query-word PREFIX
+_MATCH_LAST_QUERIES = [
+    (1, "spark window"),
+    (2, "merge sort table"),
+    (3, "dup zzzmissing stream"),  # OOV gap at word 1 caps the prefix at 1
+    (4, "the fast join"),
+]
+
+from grenad_spark.query.search import (  # noqa: E402
+    sql_matching_frequency_topk as _sql_mfreq,
+    sql_matching_last_topk as _sql_mlast,
+    sql_negative_topk as _sql_neg,
+)
+
+
+@register("bm25_topk_negative", _sql_neg(_NEG_QUERIES))
+def q_bm25_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative keywords: disjunctive BM25 over positive terms minus docs
+    containing any `-`-prefixed term (both sides In(term)-pruned scans)."""
+    from grenad_spark.query.search import search_topk_negative
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_negative(spark, idx, _NEG_QUERIES, k=10)
+
+
+@register("bm25_topk_matching_last", _sql_mlast(_MATCH_LAST_QUERIES))
+def q_bm25_matching_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matchingStrategy=last: docs bucketed by longest matched query-word
+    prefix (drop-from-the-end semantics), BM25 then doc_id inside buckets."""
+    from grenad_spark.query.search import search_topk_matching_last
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_matching_last(spark, idx, _MATCH_LAST_QUERIES, k=10)
+
+
+# matchingStrategy=frequency — drop MOST-FREQUENT word first, so bucket
+# order follows the rarity ranking, not query order
+_MATCH_FREQ_QUERIES = [
+    (1, "the spark window"),       # 'the' (max df) dropped first
+    (2, "merge sort table"),
+    (3, "dup zzzmissing stream"),  # OOV is rarest → never dropped → no rows
+    (4, "data fast join"),
+]
+
+
+@register("bm25_topk_matching_frequency", _sql_mfreq(_MATCH_FREQ_QUERIES))
+def q_bm25_matching_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matchingStrategy=frequency: docs bucketed by longest covered run of
+    the (df ASC, term ASC) rarity ordering — highest-df words drop first."""
+    from grenad_spark.query.search import search_topk_matching_frequency
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_matching_frequency(spark, idx, _MATCH_FREQ_QUERIES, k=10)
+
+
+# geosearch — Meilisearch `_geoRadius` / `_geoBoundingBox` filters and the
+# `_geoPoint` sort over deterministic doc-derived coordinates (query/geo.py;
+# a real deployment maps its own lat/lng columns)
+_GEO_QUERIES = [(1, "spark window"), (2, "merge sort"), (3, "dup")]
+_GEO_CENTER = (10.0, 20.0)
+_GEO_RADIUS_KM = 5000.0
+_GEO_TOP_LEFT = (50.0, -100.0)
+_GEO_BOTTOM_RIGHT = (-50.0, 100.0)
+
+from grenad_spark.query.geo import (  # noqa: E402
+    sql_geo_bbox_topk as _sql_geo_bbox,
+    sql_geo_radius_topk as _sql_geo_radius,
+    sql_geo_sort_topk as _sql_geo_sort,
+)
+
+
+@register(
+    "bm25_topk_geo_radius",
+    _sql_geo_radius(_GEO_QUERIES, _GEO_CENTER, _GEO_RADIUS_KM),
+)
+def q_bm25_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_geoRadius filter: BM25 top-k over docs within a haversine radius
+    (geo side is a pruned doc scan semi-joined before ranking)."""
+    from grenad_spark.query.geo import geo_radius_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return geo_radius_topk(
+        spark, idx, _docs(spark, sf_dir), _GEO_QUERIES, _GEO_CENTER,
+        _GEO_RADIUS_KM, k=10,
+    )
+
+
+@register(
+    "bm25_topk_geo_bbox",
+    _sql_geo_bbox(_GEO_QUERIES, _GEO_TOP_LEFT, _GEO_BOTTOM_RIGHT),
+)
+def q_bm25_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_geoBoundingBox filter: pure lat/lng comparisons, no trig."""
+    from grenad_spark.query.geo import geo_bbox_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return geo_bbox_topk(
+        spark, idx, _docs(spark, sf_dir), _GEO_QUERIES, _GEO_TOP_LEFT,
+        _GEO_BOTTOM_RIGHT, k=10,
+    )
+
+
+@register("bm25_topk_geo_sort", _sql_geo_sort(_GEO_QUERIES, _GEO_CENTER))
+def q_bm25_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_geoPoint sort: conjunctive matches ranked by haversine distance
+    ascending (the geo counterpart of sortable attributes)."""
+    from grenad_spark.query.geo import geo_sort_topk
+
+    idx = build_or_get_index(spark, sf_dir)
+    return geo_sort_topk(
+        spark, idx, _docs(spark, sf_dir), _GEO_QUERIES, _GEO_CENTER, k=10
+    )
+
+
 # mixed query strings with Meilisearch's FINAL-WORD-PREFIX rule: the last
 # word expands against the dictionary unless the query ends at a quote
 _MIXED_PREFIX_QUERIES = [
@@ -1179,6 +1304,25 @@ def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not idx.has_positions():
         build_positions(spark, _docs(spark, sf_dir), idx.path)
     return phrase_snippets(spark, idx, _docs(spark, sf_dir), bm25.PHRASE_QUERIES, k=10)
+
+
+# highlighting — attributesToHighlight/_formatted over the plain BM25 page
+_HIGHLIGHT_QUERIES = [(1, "spark window"), (2, "merge sort"), (3, "dup stream")]
+
+from grenad_spark.query.search import sql_highlight_topk as _sql_highlight  # noqa: E402
+
+
+@register("bm25_topk_highlight", _sql_highlight(_HIGHLIGHT_QUERIES))
+def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_formatted: matched tokens wrapped in <em> tags (Meilisearch
+    attributesToHighlight). Post-processing on k·|queries| rows; the wrap
+    runs on the normalized token stream on BOTH engines."""
+    from grenad_spark.query.search import search_topk_highlight
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_highlight(
+        spark, idx, _docs(spark, sf_dir), _HIGHLIGHT_QUERIES, k=10
+    )
 
 
 _BM25_WITH_DOCS_ORACLE = bm25.bm25_oracle_sql().replace(
@@ -1559,17 +1703,25 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_GATE_ORDER = [
-    # build stream + stats (Sorter input, partial+final agg)
-    "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats", "postings",
+    # build stream + stats (Sorter input, partial+final agg; postings
+    # demoted mid-round-5 — its varbyte encode path is exercised by
+    # term_dict and every gated bm25_* decode — for the geo_radius debut)
+    "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",
     # reader/cursor family (point/seek, batched block descent; prefix_scan/
     # range_scan/first_last_key demoted — pure JVM filters/aggs over
     # term_stats, the real cursor machinery is seek_gte_batch's block
     # descent and the gated bm25_topk_prefix expansion)
     "point_lookup", "seek_gte_batch",
-    # BM25 serving paths (pruned/composed modes + expansion + LSM read path)
-    "bm25_topk_wand_pruned", "bm25_topk_shared_pruned", "bm25_topk_with_docs",
-    "bm25_topk_prefix", "bm25_topk_fuzzy", "bm25_topk_fuzzy2",
-    "bm25_topk_and", "bm25_topk_phrase", "bm25_fresh_generations",
+    # BM25 serving paths (pruned/composed modes + expansion + LSM read path;
+    # with_docs demoted mid-round-5 — a doc_id-keyed join over the gated
+    # wand path — to make room for the bm25_topk_negative debut)
+    # (bm25_topk_fuzzy demoted mid-round-5 — the bigram 1-edit expansion
+    # also drives the gated bm25_topk_fuzzy_ranked — for the geo_bbox debut)
+    "bm25_topk_wand_pruned", "bm25_topk_shared_pruned",
+    "bm25_topk_prefix", "bm25_topk_fuzzy2",
+    # (bm25_topk_and demoted mid-round-5 — conjunctive_matches also feeds
+    # the gated bm25_topk_geo_sort — for the matching_frequency debut)
+    "bm25_topk_phrase", "bm25_fresh_generations",
     "bm25_phrase_fresh",
     # round-4 positional/rule/serving family — promoted (r4 VERDICT #1)
     "bm25_topk_proximity", "bm25_topk_mixed",
@@ -1581,13 +1733,21 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_ranked", "bm25_topk_attr_rule", "bm25_topk_mixed_prefix",
     "bm25_topk_mixed_fuzzy", "bm25_topk_synonyms", "bm25_topk_stopwords",
     "bm25_topk_filtered", "facet_counts_mixed",
-    # index roundtrip + full Merger/compaction chains
-    "term_dict", "term_dict_compacted", "term_dict_compacted_deletes",
+    "bm25_topk_negative", "bm25_topk_matching_last",
+    "bm25_topk_matching_frequency",
+    "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
+    # index roundtrip + full Merger/compaction chains (term_dict_compacted
+    # demoted mid-round-5 — the deletes variant is the same chain plus
+    # tombstones — for the geo_sort debut)
+    "term_dict", "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1)
     "text_redact_pii", "media_features", "media_metadata", "media_resize",
     "media_frames",
-    # dedup/ANN engine kernels (banded/iterative paths stay gated)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_clusters",
+    # dedup/ANN engine kernels (banded/iterative paths stay gated;
+    # minhash_lsh demoted mid-round-5 — clusters is its superset, the
+    # banding kernel feeds the gated connected-components chain — to make
+    # room for the bm25_topk_matching_last debut)
+    "dedup_ngram_jaccard", "dedup_minhash_clusters",
     "dedup_embedding_cosine",
     # composed curation (clustered = superset semantics of the plain one)
     "curation_pipeline_clustered",
@@ -1599,6 +1759,8 @@ _OVERFLOW_ORDER = [
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
+    "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
+    "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",
@@ -1610,7 +1772,9 @@ _OVERFLOW_ORDER = [
     # long-standing overflow (subsets / re-rankings / pure JVM projections);
     # phrase_snippets is k·|queries|-row post-processing over the GATED
     # phrase kernel
-    "bm25_topk_phrase_snippets", "events_pivot", "seek_lte",
+    # bm25_topk_highlight: same k·|queries|-row post-processing shape
+    "bm25_topk_phrase_snippets", "bm25_topk_highlight",
+    "events_pivot", "seek_lte",
     "bm25_topk", "curation_pipeline", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint",

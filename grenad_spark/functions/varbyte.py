@@ -164,8 +164,38 @@ def encode_posting_blocks(
 # zlib is stdlib; snappy/lz4/zstd ride on pyarrow's codecs with a 4-byte
 # little-endian raw-length header (pyarrow.decompress needs the decoded size,
 # which grenad stores in its block header too).
+#
+# WriterBuilder::compression_level (src/writer.rs:46-52) rides inside the
+# codec string as "name:level" ("zstd:19", "zlib:9") so one string threads
+# the whole knob through manifest, compaction generations, and every read
+# path. Honored for zlib/zstd exactly as grenad (compression.rs:111-113,
+# 191-193) plus lz4 (grenad ignores it there, compression.rs:217, but
+# pyarrow's lz4 supports levels 1-12 so we honor it); accepted-but-ignored
+# for snappy (compression.rs:165) and none, mirroring grenad's `_level`
+# arms. Decompression is level-agnostic for every codec in the matrix, so
+# readers only need the base name.
 PAYLOAD_CODECS = ("none", "zlib", "snappy", "lz4", "zstd")
 _ARROW_CODECS = {"snappy", "lz4", "zstd"}
+_LEVEL_CODECS = {"zlib", "zstd", "lz4"}
+
+
+def split_codec(codec: str) -> tuple[str, int | None]:
+    """'zstd:19' -> ('zstd', 19); 'zstd' -> ('zstd', None). Unknown base
+    names or malformed levels raise InvalidCompressionType (grenad
+    Error::InvalidCompressionType, src/error.rs:6-15)."""
+    from grenad_spark.errors import InvalidCompressionType
+
+    name, sep, lvl = codec.partition(":")
+    if name not in PAYLOAD_CODECS:
+        raise InvalidCompressionType(f"unknown payload codec {codec!r}")
+    if not sep:
+        return name, None
+    try:
+        return name, int(lvl)
+    except ValueError:
+        raise InvalidCompressionType(
+            f"invalid compression level {lvl!r} in payload codec {codec!r}"
+        ) from None
 
 
 def _arrow_codec_available(codec: str) -> bool:
@@ -195,21 +225,28 @@ def _reject_codec(codec: str) -> None:
 
 
 def compress_payload(payload: bytes, codec: str) -> bytes:
+    codec, level = split_codec(codec)
     if codec == "none":
         return payload
     if codec == "zlib":
         import zlib
 
-        return zlib.compress(payload, 6)
+        return zlib.compress(payload, 6 if level is None else level)
     if codec in _ARROW_CODECS and _arrow_codec_available(codec):
         import pyarrow as pa
 
-        body = pa.compress(payload, codec=codec, asbytes=True)
+        if level is None or codec not in _LEVEL_CODECS:
+            body = pa.compress(payload, codec=codec, asbytes=True)
+        else:
+            body = pa.Codec(codec, compression_level=level).compress(
+                payload, asbytes=True
+            )
         return len(payload).to_bytes(4, "little") + body
     _reject_codec(codec)
 
 
 def decompress_payload(payload: bytes, codec: str) -> bytes:
+    codec, _ = split_codec(codec)
     if codec == "none":
         return payload
     if codec == "zlib":
@@ -225,7 +262,7 @@ def decompress_payload(payload: bytes, codec: str) -> bytes:
 
 
 def decompress_payloads(payloads: list[bytes], codec: str) -> list[bytes]:
-    if codec == "none":
+    if split_codec(codec)[0] == "none":
         return payloads
     return [decompress_payload(p, codec) for p in payloads]
 

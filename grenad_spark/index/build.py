@@ -263,11 +263,26 @@ def build_index(
     overwrite: bool = False,
     compression: str = "zstd",
     payload_codec: str = "none",
+    payload_codec_level: int | None = None,
     block_size: int | None = None,
 ) -> "IndexHandle":
     """Run the full build; resumable per-stage. docs needs (doc_id, text).
     block_size = postings per block (grenad WriterBuilder::block_size analog;
-    default BLOCK_SIZE=128)."""
+    default BLOCK_SIZE=128). payload_codec_level = grenad
+    WriterBuilder::compression_level (src/writer.rs:46-52): honored for
+    zlib/zstd/lz4, ignored for snappy/none (see functions/varbyte.py);
+    recorded in the manifest as the "name:level" codec string so compaction
+    and readers inherit it."""
+    from grenad_spark.functions.varbyte import split_codec
+
+    if payload_codec_level is not None:
+        if ":" in payload_codec:
+            raise ValueError(
+                "pass the level either inside payload_codec ('zstd:19') or "
+                "via payload_codec_level, not both"
+            )
+        payload_codec = f"{payload_codec}:{payload_codec_level}"
+    split_codec(payload_codec)  # fail fast on the driver, not inside a UDF
     t0 = time.time()
     # AQE off for the build: every partitioning here is explicit (repartition
     # on (term, shard), range write), so adaptive re-planning only inserts

@@ -2197,3 +2197,549 @@ def sql_stopwords_topk(
         "\n  ) WHERE term <> '' "
         f"AND term NOT IN (SELECT s FROM (VALUES {stop_vals}) v(s))",
     )
+
+
+# ---------------------------------------------------------------------------
+# negative keywords — Meilisearch v1.8 query syntax: a word prefixed with
+# `-` EXCLUDES every document containing it (docs.meilisearch.com "negative
+# keywords"; grenad serves the exclusion set from the same word-docids DBs)
+# ---------------------------------------------------------------------------
+
+def parse_negative_query(q: str) -> tuple[list[str], list[str]]:
+    """Split a raw query string into (positive_terms, negative_terms).
+    A whitespace-token starting with `-` contributes its words to the
+    negative set; everything else is positive. Both sides normalize through
+    TOKEN_SPLIT_RE, so `-Slow!` excludes the term 'slow'."""
+    import re
+
+    pos: list[str] = []
+    neg: list[str] = []
+    for tok in q.split():
+        is_neg = tok.startswith("-")
+        for t in re.split(TOKEN_SPLIT_RE, tok.lstrip("-").lower()):
+            if t:
+                (neg if is_neg else pos).append(t)
+    return pos, neg
+
+
+def search_topk_negative(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Meilisearch NEGATIVE-KEYWORD serving: disjunctive BM25 top-k over the
+    positive terms, minus every doc containing ANY `-`-prefixed term. The
+    exclusion left-anti joins BEFORE the per-query window, so an excluded
+    doc is replaced by the next-best — never a short result page.
+
+    Scale: both sides ride the In(term)-pruned segments scan; the negative
+    side decodes only its own posting blocks (work ∝ excluded-term posting
+    size) and the anti-join keys on (query_id, doc_id) — co-partitioned
+    with the scoring shuffle, no extra exchange shape. A query with only
+    negative terms matches nothing (Meilisearch placeholder search is the
+    documents scan, not an index query). (query_id, doc_id, score)."""
+    pos_pairs: list[tuple[int, str]] = []
+    neg_pairs: list[tuple[int, str]] = []
+    seen: set[tuple[int, str, bool]] = set()
+    for qid, q in queries:
+        pos, neg = parse_negative_query(q)
+        for t in pos:
+            if (qid, t, False) not in seen:
+                seen.add((qid, t, False))
+                pos_pairs.append((qid, t))
+        for t in neg:
+            if (qid, t, True) not in seen:
+                seen.add((qid, t, True))
+                neg_pairs.append((qid, t))
+    if not pos_pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    blocks, _ = _query_blocks_from_pairs(spark, index, pos_pairs)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+    )
+    if neg_pairs:
+        nblocks, _ = _query_blocks_from_pairs(spark, index, neg_pairs)
+        excluded = nblocks.select(
+            "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "payload",
+        ).groupBy("query_id", "shard").applyInPandas(
+            _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+        ).select("query_id", "doc_id")
+        per_shard = per_shard.join(excluded, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_negative_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_negative: the positive/negative term
+    split baked as VALUES relations; exclusion via NOT EXISTS before the
+    per-query ranking window."""
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+    pos_rows, neg_rows = [], []
+    for qid, q in queries:
+        pos, neg = parse_negative_query(q)
+        pos_rows += [f"({qid}, '{t}')" for t in sorted(set(pos))]
+        neg_rows += [f"({qid}, '{t}')" for t in sorted(set(neg))]
+    if not pos_rows:
+        return "SELECT NULL::INT query_id, NULL::BIGINT doc_id, NULL::DOUBLE score WHERE false"
+    neg_cte = (
+        f"(VALUES {', '.join(neg_rows)}) AS n(query_id, term)"
+        if neg_rows
+        else "(SELECT NULL::INT AS query_id, NULL::VARCHAR AS term WHERE false) n"
+    )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(pos_rows)}) AS p(query_id, term)),
+nq AS (SELECT * FROM {neg_cte}),
+excluded AS (
+  SELECT DISTINCT nq.query_id, tdt.doc_id FROM tdt JOIN nq ON tdt.term = nq.term
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM excluded e WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
+  )
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# matchingStrategy=last — Meilisearch's default word-dropping semantics:
+# words are removed from the END of the query until a doc matches, so docs
+# are bucketed by the LONGEST PREFIX of query words they contain entirely
+# (a doc matching words {0,2} of a 3-word query sits in the prefix-1
+# bucket — the gap at word 1 stops the prefix even though word 2 matched).
+# Our words rule (search_topk_words) is matchingStrategy=frequency-ish
+# (any-subset coverage count); this is the `last` strategy counterpart.
+# ---------------------------------------------------------------------------
+
+_TERM_MATCH_SCHEMA = "query_id int, doc_id long, term string, s double"
+
+
+def _make_term_match_rows(avgdl: float, codec: str = "none"):
+    """Per-shard decode that emits one row per (doc, matched term) with the
+    term's full BM25 contribution — the building block when a consumer needs
+    WHICH terms matched, not just how many."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        out = []
+        for (term, idf), g in pdf.groupby(["term", "idf"], sort=False):
+            d, tf, dl = decode_block_rows(
+                decompress_payloads(list(g["payload"]), codec), g["n"].to_numpy()
+            )
+            s = float(idf) * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            out.append(
+                pd.DataFrame({"query_id": qid, "doc_id": d, "term": term, "s": s})
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "s": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def search_topk_matching_last(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """matchingStrategy=last serving: rank by longest matched query-word
+    PREFIX desc, then disjunctive BM25 over all matched terms, then doc_id.
+    Docs not containing the first query word never match (prefix 0).
+
+    Plan: one pruned-scan + kernel pass emits (doc, term, score-part) rows;
+    a broadcast (query, term → slot) map attaches word positions; two
+    same-keyed aggregations (slot set, score sum) reuse one (query_id,
+    doc_id) partitioning. The sorted-distinct-slot prefix length is
+    size(filter(transform(slots, (x,i) -> x = i))) — for a sorted distinct
+    int array, arr[i] = i exactly on the leading gap-free run.
+    (query_id, doc_id, matched_prefix, score)."""
+    import re
+
+    slot_rows: list[tuple[int, str, int]] = []
+    pairs: list[tuple[int, str]] = []
+    seen: set[tuple[int, str]] = set()
+    for qid, q in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        for slot, t in enumerate(toks):
+            slot_rows.append((qid, t, slot))
+            if (qid, t) not in seen:
+                seen.add((qid, t))
+                pairs.append((qid, t))
+    return _matched_prefix_topk(spark, index, pairs, slot_rows, k)
+
+
+def _matched_prefix_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    pairs: list[tuple[int, str]],
+    slot_rows: list[tuple[int, str, int]],
+    k: int,
+) -> DataFrame:
+    """Shared word-dropping-strategy tail: given distinct (query, term)
+    pairs and a (query, term → slot) drop-ORDER map (slot 0 = dropped
+    last), rank docs by longest gap-free leading slot run, BM25, doc_id."""
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, matched_prefix int, score double"
+        )
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    matches = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_term_match_rows(float(index.avgdl), index.payload_codec),
+        _TERM_MATCH_SCHEMA,
+    )
+    slot_df = spark.createDataFrame(slot_rows, "query_id int, term string, slot int")
+    scores = matches.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    slots = (
+        matches.join(F.broadcast(slot_df), ["query_id", "term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_set("slot")).alias("slots"))
+        .withColumn(
+            "matched_prefix",
+            F.expr("size(filter(transform(slots, (x, i) -> x = i), b -> b))"),
+        )
+    )
+    j = slots.filter(F.col("matched_prefix") >= 1).join(
+        scores, ["query_id", "doc_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("matched_prefix"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "matched_prefix", "score")
+    )
+
+
+def search_topk_matching_frequency(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """matchingStrategy=frequency (Meilisearch v1.8): words are dropped
+    MOST-FREQUENT-FIRST (highest df), so docs are bucketed by the longest
+    leading run of the rarity ordering they cover entirely — the same
+    gap-free-run machinery as `last` with slots assigned by (df ASC, term
+    ASC) rank instead of query position. An OOV term (df 0) is the rarest,
+    sits at slot 0, and is never dropped: its query matches nothing —
+    Meilisearch's dropping likewise never removes it.
+
+    Scale: slot assignment needs df ONLY for the query's own terms — the
+    driver-held df map when the vocabulary is map-gated, else a pruned
+    In(term) term_dict scan collected to the driver (bounded by query word
+    count, never by vocabulary). (query_id, doc_id, matched_prefix,
+    score)."""
+    pairs = _tokenize_queries(queries)
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, matched_prefix int, score double"
+        )
+    terms = sorted({t for _, t in pairs})
+    dfm = index.df_map(spark)
+    if dfm is not None:
+        df_of = {t: int(dfm.get(t, 0)) for t in terms}
+    else:
+        got = (
+            index.term_dict(spark)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        known = {r["term"]: int(r["df"]) for r in got}
+        df_of = {t: known.get(t, 0) for t in terms}
+    by_query: dict[int, list[str]] = {}
+    for qid, t in pairs:
+        by_query.setdefault(qid, []).append(t)
+    slot_rows: list[tuple[int, str, int]] = []
+    for qid, ts in by_query.items():
+        for slot, t in enumerate(sorted(ts, key=lambda t: (df_of[t], t))):
+            slot_rows.append((qid, t, slot))
+    return _matched_prefix_topk(spark, index, pairs, slot_rows, k)
+
+
+def sql_matching_last_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_matching_last: the (query, slot, term)
+    word list as a VALUES relation; matched_prefix = the smallest uncovered
+    slot (or the word count when every slot is covered)."""
+    import re
+
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+    tok_rows = []
+    for qid, q in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        tok_rows += [f"({qid}, {i}, '{t}')" for i, t in enumerate(toks)]
+    if not tok_rows:
+        return (
+            "SELECT NULL::INT query_id, NULL::BIGINT doc_id, "
+            "NULL::INT matched_prefix, NULL::DOUBLE score WHERE false"
+        )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qtok AS (SELECT * FROM (VALUES {', '.join(tok_rows)}) AS v(query_id, slot, term)),
+qt AS (SELECT DISTINCT query_id, term FROM qtok),
+matched AS (
+  SELECT DISTINCT q.query_id, tdt.doc_id, q.slot
+  FROM tdt JOIN qtok q ON tdt.term = q.term
+),
+slots AS (SELECT DISTINCT query_id, slot FROM qtok),
+cov AS (
+  SELECT s.query_id, d.doc_id, s.slot, (m.slot IS NOT NULL) AS hit
+  FROM slots s
+  JOIN (SELECT DISTINCT query_id, doc_id FROM matched) d ON d.query_id = s.query_id
+  LEFT JOIN matched m
+    ON m.query_id = s.query_id AND m.doc_id = d.doc_id AND m.slot = s.slot
+),
+lp AS (
+  SELECT query_id, doc_id,
+         coalesce(min(CASE WHEN NOT hit THEN slot END), count(*))::INT AS matched_prefix
+  FROM cov GROUP BY 1, 2
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, matched_prefix, score FROM (
+  SELECT l.query_id, l.doc_id, l.matched_prefix, s.score,
+         row_number() OVER (PARTITION BY l.query_id
+           ORDER BY l.matched_prefix DESC, s.score DESC, l.doc_id ASC) AS rn
+  FROM lp l JOIN scored s ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+  WHERE l.matched_prefix >= 1
+) WHERE rn <= {k}
+"""
+
+
+def sql_matching_frequency_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_matching_frequency: slots assigned by
+    (df ASC, term ASC) rank inside each query (df 0 for OOV terms —
+    LEFT JOIN against ts), then the same smallest-uncovered-slot bucket
+    logic as the `last` oracle."""
+    import re
+
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+    qt_rows = []
+    for qid, q in queries:
+        toks = {t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t}
+        qt_rows += [f"({qid}, '{t}')" for t in sorted(toks)]
+    if not qt_rows:
+        return (
+            "SELECT NULL::INT query_id, NULL::BIGINT doc_id, "
+            "NULL::INT matched_prefix, NULL::DOUBLE score WHERE false"
+        )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM documents
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qt_rows)}) AS v(query_id, term)),
+qtok AS (
+  SELECT query_id, term,
+         (row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY coalesce(ts.df, 0) ASC, qt.term ASC) - 1)::INT AS slot
+  FROM qt LEFT JOIN ts USING (term)
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tdt.doc_id, q.slot
+  FROM tdt JOIN qtok q ON tdt.term = q.term
+),
+slots AS (SELECT DISTINCT query_id, slot FROM qtok),
+cov AS (
+  SELECT s.query_id, d.doc_id, s.slot, (m.slot IS NOT NULL) AS hit
+  FROM slots s
+  JOIN (SELECT DISTINCT query_id, doc_id FROM matched) d ON d.query_id = s.query_id
+  LEFT JOIN matched m
+    ON m.query_id = s.query_id AND m.doc_id = d.doc_id AND m.slot = s.slot
+),
+lp AS (
+  SELECT query_id, doc_id,
+         coalesce(min(CASE WHEN NOT hit THEN slot END), count(*))::INT AS matched_prefix
+  FROM cov GROUP BY 1, 2
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, matched_prefix, score FROM (
+  SELECT l.query_id, l.doc_id, l.matched_prefix, s.score,
+         row_number() OVER (PARTITION BY l.query_id
+           ORDER BY l.matched_prefix DESC, s.score DESC, l.doc_id ASC) AS rn
+  FROM lp l JOIN scored s ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+  WHERE l.matched_prefix >= 1
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# highlighting — Meilisearch attributesToHighlight / _formatted: matched
+# words wrapped in highlightPreTag/PostTag. Like phrase_snippets, the
+# transform runs over the NORMALIZED token stream (tokens_col), so both
+# engines wrap exactly the tokenizer's matches — no raw-text regex-engine
+# parity risks (Java regex vs RE2 \b / case-folding differences).
+# ---------------------------------------------------------------------------
+
+def search_topk_highlight(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """Top-k BM25 with `_formatted`: the normalized text with every token
+    equal to a query term wrapped in pre/post tags.
+
+    Post-processing on k·|queries| rows only — the ranked page (with its
+    per-query term array) broadcasts into the documents join and the wrap
+    is one JVM transform over the token array; the 100 TB docs side is
+    touched once, by doc_id join key. (query_id, doc_id, score,
+    formatted)."""
+    from grenad_spark.functions.tokenize import tokens_col
+
+    topk = search_topk(spark, index, queries, k=k)
+    qrows = []
+    for qid, q in queries:
+        ts = sorted({t for _, t in _tokenize_queries([(qid, q)])})
+        if ts:
+            qrows.append((qid, ts))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, formatted string"
+        )
+    qdf = spark.createDataFrame(qrows, "query_id int, qterms array<string>")
+    pre, post = F.lit(pre_tag), F.lit(post_tag)
+    j = (
+        F.broadcast(topk.join(F.broadcast(qdf), "query_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("toks", tokens_col("text"))
+        .withColumn(
+            "formatted",
+            F.array_join(
+                F.transform(
+                    F.col("toks"),
+                    lambda t: F.when(
+                        F.array_contains(F.col("qterms"), t),
+                        F.concat(pre, t, post),
+                    ).otherwise(t),
+                ),
+                " ",
+            ),
+        )
+    )
+    return j.select("query_id", "doc_id", "score", "formatted")
+
+
+def sql_highlight_topk(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> str:
+    """DuckDB oracle for search_topk_highlight — same normalized-token wrap
+    (list_transform + list_contains over the tokenized text)."""
+    from grenad_spark.query.bm25 import bm25_oracle_sql
+
+    qrows = []
+    for qid, q in queries:
+        ts = sorted({t for _, t in _tokenize_queries([(qid, q)])})
+        if ts:
+            lit = "[" + ", ".join(f"'{t}'" for t in ts) + "]"
+            qrows.append(f"({qid}, {lit})")
+    return f"""
+WITH topk AS ({bm25_oracle_sql(queries, k)}),
+qn AS (SELECT * FROM (VALUES {', '.join(qrows)}) AS v(query_id, qterms)),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT t.query_id, t.doc_id, t.score,
+       array_to_string(
+         list_transform(tk.toks,
+           x -> CASE WHEN list_contains(qn.qterms, x)
+                     THEN '{pre_tag}' || x || '{post_tag}' ELSE x END),
+         ' ') AS formatted
+FROM topk t JOIN qn USING (query_id) JOIN tk USING (doc_id)
+"""

@@ -22,6 +22,40 @@ def test_codec_roundtrip(data, codec):
     assert decompress_payload(compress_payload(data, codec), codec) == data
 
 
+# WriterBuilder::compression_level (src/writer.rs:46-52) as a "name:level"
+# codec string — every levelled variant must round-trip bit-exact, since
+# decompression is level-agnostic across the whole matrix.
+_LEVELLED = ["zlib:1", "zlib:9", "zstd:1", "zstd:19", "zstd:-5", "lz4:1",
+             "lz4:12", "snappy:3", "none:0"]
+
+
+@given(st.binary(max_size=5000), st.sampled_from(_LEVELLED))
+@settings(max_examples=60, deadline=None)
+def test_codec_level_roundtrip(data, codec):
+    assert decompress_payload(compress_payload(data, codec), codec) == data
+
+
+def test_codec_level_parsing_and_effect():
+    import pytest
+
+    from grenad_spark.errors import InvalidCompressionType
+    from grenad_spark.functions.varbyte import split_codec
+
+    assert split_codec("zstd:19") == ("zstd", 19)
+    assert split_codec("zstd") == ("zstd", None)
+    with pytest.raises(InvalidCompressionType):
+        split_codec("zstd:fast")
+    with pytest.raises(InvalidCompressionType):
+        split_codec("rot13:9")
+    # zlib level 0 is stored (no compression) — must be strictly larger than
+    # level 9 on compressible data, proving the level actually reaches the
+    # compressor (flate2 Compression::new(level) parity, compression.rs:113)
+    data = bytes(range(256)) * 200
+    assert len(compress_payload(data, "zlib:0")) > len(
+        compress_payload(data, "zlib:9")
+    )
+
+
 def test_zlib_index_rank_identical(spark, docs_small, index_small, tmp_path):
     zidx = build_index(
         spark, docs_small, str(tmp_path / "z"), n_shards=3, payload_codec="zlib"
@@ -35,3 +69,29 @@ def test_zlib_index_rank_identical(spark, docs_small, index_small, tmp_path):
         a = norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode=mode))
         b = norm(search_topk(spark, zidx, REFERENCE_QUERIES, mode=mode))
         assert a == b, mode
+
+
+def test_compression_level_knob_end_to_end(spark, docs_small, index_small, tmp_path):
+    """payload_codec_level composes into the manifest codec string and the
+    levelled index ranks identically to the uncompressed one."""
+    import pytest
+
+    lidx = build_index(
+        spark, docs_small, str(tmp_path / "l19"), n_shards=3,
+        payload_codec="zstd", payload_codec_level=19,
+    )
+    assert lidx.payload_codec == "zstd:19"
+    assert lidx.manifest["payload_codec"] == "zstd:19"
+
+    def norm(df):
+        return sorted(map(tuple, df.toPandas().values.tolist()))
+
+    a = norm(search_topk(spark, index_small, REFERENCE_QUERIES, mode="wand"))
+    b = norm(search_topk(spark, lidx, REFERENCE_QUERIES, mode="wand"))
+    assert a == b
+
+    with pytest.raises(ValueError, match="not both"):
+        build_index(
+            spark, docs_small, str(tmp_path / "dup"), payload_codec="zstd:3",
+            payload_codec_level=19,
+        )
