@@ -1362,6 +1362,31 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# materialized prefix postings (word_prefix_docids): "dup" is longer than
+# the built max_len=2, so it exercises the expansion fallback in the same
+# page as materialized 1- and 2-char prefixes
+_PREFIX_DB_QUERIES = [(1, "sp"), (2, "me"), (3, "d"), (4, "dup"), (5, "zzq")]
+
+from grenad_spark.index.prefix import sql_prefix_db_topk as _sql_prefix_db  # noqa: E402
+
+
+@register("bm25_topk_prefix_db", _sql_prefix_db(_PREFIX_DB_QUERIES))
+def q_bm25_prefix_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-as-one-word BM25 over MATERIALIZED prefix postings (the
+    Meilisearch word_prefix_docids build stage re-expressed as one extra
+    grouped encode over the token stream); one In(prefix)-pruned list per
+    query instead of dictionary fan-out."""
+    from grenad_spark.index.prefix import (
+        build_prefix_postings,
+        search_topk_prefix_db,
+    )
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_prefix_postings():
+        build_prefix_postings(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_prefix_db(spark, idx, _PREFIX_DB_QUERIES, k=10)
+
+
 @register("bm25_topk_fuzzy", bm25.bm25_fuzzy_oracle_sql())
 def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant search: Levenshtein-≤1 expansion against the term
@@ -1734,14 +1759,16 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_mixed_fuzzy", "bm25_topk_synonyms", "bm25_topk_stopwords",
     "bm25_topk_filtered", "facet_counts_mixed",
     "bm25_topk_negative", "bm25_topk_matching_last",
-    "bm25_topk_matching_frequency",
+    "bm25_topk_matching_frequency", "bm25_topk_prefix_db",
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
     "term_dict", "term_dict_compacted_deletes",
-    # scrub + media plumbing — promoted (r4 VERDICT #1)
-    "text_redact_pii", "media_features", "media_metadata", "media_resize",
+    # scrub + media plumbing — promoted (r4 VERDICT #1; media_resize
+    # demoted mid-round-5 — frames+features cover the same mapInPandas
+    # decode plumbing — for the bm25_topk_prefix_db debut)
+    "text_redact_pii", "media_features", "media_metadata",
     "media_frames",
     # dedup/ANN engine kernels (banded/iterative paths stay gated;
     # minhash_lsh demoted mid-round-5 — clusters is its superset, the
@@ -1761,6 +1788,7 @@ _OVERFLOW_ORDER = [
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
+    "media_resize",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",

@@ -660,6 +660,32 @@ class IndexHandle:
     def has_positions(self) -> bool:
         return _done(os.path.join(self.path, "positions"))
 
+    def prefix_segments(self, spark: SparkSession) -> DataFrame:
+        """Materialized prefix posting blocks (index/prefix.py — the
+        Meilisearch word_prefix_docids analog; same SEGMENT_SCHEMA with the
+        prefix in the term column). Raises if the stage never ran."""
+        p = os.path.join(self.path, "prefix_postings")
+        if not _done(p):
+            raise FileNotFoundError(
+                f"index at {self.path} has no prefix_postings table — "
+                f"build_prefix_postings() adds it (needs the original docs)"
+            )
+        return self._table(spark, "prefix_postings")
+
+    def prefix_dict(self, spark: SparkSession) -> DataFrame | None:
+        """(prefix, df, cf, n_blocks, max_tf) footer stats of the
+        materialized prefixes; None when the stage never ran (serving then
+        expands every prefix against term_dict — correct, just fan-out)."""
+        p = os.path.join(self.path, "prefix_dict")
+        if _done(p):
+            return self._table(spark, "prefix_dict")
+        return None
+
+    def has_prefix_postings(self) -> bool:
+        return _done(os.path.join(self.path, "prefix_postings")) and _done(
+            os.path.join(self.path, "prefix_dict")
+        )
+
     def term_deletes(self, spark: SparkSession) -> DataFrame | None:
         """(delvar, term) persisted SymSpell deletion table (max_edits=2
         expansion via delvar equi-join — no vocabulary scan). Returns None
@@ -709,6 +735,14 @@ class IndexHandle:
         from grenad_spark.query.search import search_topk_prefix
 
         return search_topk_prefix(spark, self, queries, k=k, max_expansions=max_expansions)
+
+    def search_prefix_db(self, spark: SparkSession, queries, k: int = 10) -> DataFrame:
+        """Prefix-as-one-word BM25 over the materialized prefix postings
+        (index/prefix.py); unmaterialized prefixes fall back to dictionary
+        expansion with identical semantics."""
+        from grenad_spark.index.prefix import search_topk_prefix_db
+
+        return search_topk_prefix_db(spark, self, queries, k=k)
 
     def search_fuzzy(self, spark: SparkSession, queries, k: int = 10, max_edits: int = 1) -> DataFrame:
         from grenad_spark.query.search import search_topk_fuzzy
