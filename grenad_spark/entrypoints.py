@@ -1047,6 +1047,21 @@ def q_facet_counts_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "facet_value_search",
+    _facets.sql_facet_value_search("source", "src1", term="dup", max_values=8),
+)
+def q_facet_value_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch POST /facet-search: facet VALUES of one field that
+    prefix-match the facetQuery, counted over a term search's match set
+    (posting-block decode), ordered (cnt DESC, value ASC) and limited —
+    the limit is deterministic because that ordering is total."""
+    idx = build_or_get_index(spark, sf_dir)
+    return _facets.facet_value_search(
+        spark, idx, _docs(spark, sf_dir), "source", "src1", term="dup", max_values=8
+    )
+
+
 # synonyms + stop words — index-configured query rewrites applied before
 # ranking (everyday Meilisearch settings). The synonym map points at other
 # vocabulary terms (plus one deliberately-OOV synonym that must be a no-op);
@@ -1761,14 +1776,18 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_negative", "bm25_topk_matching_last",
     "bm25_topk_matching_frequency", "bm25_topk_prefix_db",
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
+    "facet_value_search",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
     "term_dict", "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1; media_resize
     # demoted mid-round-5 — frames+features cover the same mapInPandas
-    # decode plumbing — for the bm25_topk_prefix_db debut)
-    "text_redact_pii", "media_features", "media_metadata",
+    # decode plumbing — for the bm25_topk_prefix_db debut; media_metadata
+    # demoted mid-round-5 — a pure JVM projection over the binary column,
+    # the decode plumbing lives in the still-gated features/frames — for
+    # the facet_value_search debut)
+    "text_redact_pii", "media_features",
     "media_frames",
     # dedup/ANN engine kernels (banded/iterative paths stay gated;
     # minhash_lsh demoted mid-round-5 — clusters is its superset, the
@@ -1788,7 +1807,7 @@ _OVERFLOW_ORDER = [
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
-    "media_resize",
+    "media_resize", "media_metadata",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",

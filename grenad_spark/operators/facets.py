@@ -180,3 +180,67 @@ def sql_facet_counts_for_mixed(
             f"(VALUES {vals}) v(term))) m ON d.doc_id = m.doc_id)"
         )
     return sql_facet_counts(facet_cols, match + " AS t")
+
+
+# ---------------------------------------------------------------------------
+# facet-value search — Meilisearch POST /facet-search: find facet VALUES of
+# one facet field that prefix-match facetQuery (normalized), each with its
+# document count, optionally restricted to a search's match set; ordered
+# count DESC then value ASC, limited (Meilisearch maxValuesPerFacet).
+# ---------------------------------------------------------------------------
+
+def facet_value_search(
+    spark: SparkSession,
+    index,
+    docs: DataFrame,
+    facet_col: str,
+    facet_query: str,
+    term: str | None = None,
+    max_values: int = 100,
+) -> DataFrame:
+    """(value, cnt) facet values of `facet_col` starting with `facet_query`
+    (case-insensitive), counted over all docs or — when `term` is given —
+    over the docs matching the search term (posting-block decode, the same
+    In(term)-pruned path as facet_counts_for_term).
+
+    Scale: the prefix filter prunes BEFORE the count aggregation, so the
+    shuffle carries only matching values; (cnt DESC, value ASC) is a total
+    order, making the limit deterministic."""
+    base = docs
+    if term is not None:
+        base = docs.join(matching_doc_ids(spark, index, term), "doc_id")
+    fq = facet_query.lower()
+    return (
+        base.select(F.col(facet_col).cast("string").alias("value"))
+        .filter(F.lower(F.col("value")).startswith(fq))
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(int(max_values))
+    )
+
+
+def sql_facet_value_search(
+    facet_col: str,
+    facet_query: str,
+    term: str | None = None,
+    max_values: int = 100,
+    table: str = "documents",
+) -> str:
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    base = table
+    if term is not None:
+        base = (
+            f"(SELECT d.* FROM {table} d JOIN (SELECT DISTINCT doc_id FROM "
+            f"({sql_term_doc_tf(table)}) WHERE term = '{term}') m "
+            f"ON d.doc_id = m.doc_id)"
+        )
+    return f"""
+SELECT CAST({facet_col} AS VARCHAR) AS value, count(*)::BIGINT AS cnt
+FROM {base} t
+WHERE starts_with(lower(CAST({facet_col} AS VARCHAR)), '{facet_query.lower()}')
+GROUP BY 1
+ORDER BY cnt DESC, value ASC
+LIMIT {int(max_values)}
+"""

@@ -536,3 +536,34 @@ def test_facet_counts_mixed_matches_matchset(spark, docs_small, index_small):
         if r.doc_id in matched:
             expect[("lang", r.lang)] = expect.get(("lang", r.lang), 0) + 1
     assert got == expect
+
+
+def test_facet_value_search_prefix_count_order(spark, docs_small, index_small):
+    """/facet-search: prefix-filtered facet values, counted over the term's
+    match set, (cnt DESC, value ASC) ordered, deterministically limited."""
+    from grenad_spark.operators.facets import facet_value_search, matching_doc_ids
+
+    matched = {r.doc_id for r in matching_doc_ids(spark, index_small, "dup").collect()}
+    assert matched
+    expect = {}
+    for r in docs_small.select("doc_id", "source").collect():
+        if r.doc_id in matched and r.source.lower().startswith("src1"):
+            expect[r.source] = expect.get(r.source, 0) + 1
+    full = sorted(expect.items(), key=lambda t: (-t[1], t[0]))
+    got = [
+        (r.value, r.cnt)
+        for r in facet_value_search(
+            spark, index_small, docs_small, "source", "src1", term="dup", max_values=5
+        ).collect()
+    ]
+    assert got == full[:5]
+    assert len(full) > 5  # the limit actually cut something
+    # unrestricted path: counts over the whole corpus
+    allv = {
+        r.value: r.cnt
+        for r in facet_value_search(
+            spark, index_small, docs_small, "source", "src19"
+        ).collect()
+    }
+    corpus = docs_small.filter("source = 'src19'").count()
+    assert allv == {"src19": corpus}
