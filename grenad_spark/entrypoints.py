@@ -1307,6 +1307,26 @@ def q_bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_proximity(spark, idx, bm25.PROX_QUERIES, k=10)
 
 
+from grenad_spark.index.pairprox import sql_proximity_db_topk as _sql_prox_db  # noqa: E402
+
+
+@register("bm25_topk_proximity_db", _sql_prox_db(bm25.PROX_DB_QUERIES))
+def q_bm25_proximity_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity rule served from the MATERIALIZED pair DB (the Meilisearch
+    word_pair_proximity_docids analog, index/pairprox.py): capped per-pair
+    costs (absent pair = 8) summed over adjacent query slots, BM25 ties.
+    Reads pair posting lists — never the positional blocks."""
+    from grenad_spark.index.pairprox import (
+        build_pair_proximity,
+        search_topk_proximity_db,
+    )
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_pair_proximity():
+        build_pair_proximity(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_proximity_db(spark, idx, bm25.PROX_DB_QUERIES, k=10)
+
+
 @register("bm25_topk_phrase_snippets", _sql_phrase_snippets())
 def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase top-k with a cropped snippet around the first occurrence
@@ -1761,7 +1781,10 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_prefix", "bm25_topk_fuzzy2",
     # (bm25_topk_and demoted mid-round-5 — conjunctive_matches also feeds
     # the gated bm25_topk_geo_sort — for the matching_frequency debut)
-    "bm25_topk_phrase", "bm25_fresh_generations",
+    # (bm25_topk_phrase demoted mid-round-5 — phrase_shared passes the
+    # IDENTICAL oracle through a superset plan, and phrase_fresh/mixed keep
+    # the kernel gated — for the bm25_topk_proximity_db debut)
+    "bm25_fresh_generations",
     "bm25_phrase_fresh",
     # round-4 positional/rule/serving family — promoted (r4 VERDICT #1)
     "bm25_topk_proximity", "bm25_topk_mixed",
@@ -1776,7 +1799,7 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_negative", "bm25_topk_matching_last",
     "bm25_topk_matching_frequency", "bm25_topk_prefix_db",
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
-    "facet_value_search",
+    "facet_value_search", "bm25_topk_proximity_db",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1807,7 +1830,7 @@ _OVERFLOW_ORDER = [
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
-    "media_resize", "media_metadata",
+    "media_resize", "media_metadata", "bm25_topk_phrase",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",

@@ -686,6 +686,32 @@ class IndexHandle:
             os.path.join(self.path, "prefix_dict")
         )
 
+    def pair_segments(self, spark: SparkSession) -> DataFrame:
+        """Materialized pair-proximity posting blocks (index/pairprox.py —
+        the Meilisearch word_pair_proximity_docids analog; SEGMENT_SCHEMA
+        with the canonical 'a b' pair in the term column and the min token
+        distance riding tf). Raises if the stage never ran."""
+        p = os.path.join(self.path, "pair_proximity")
+        if not _done(p):
+            raise FileNotFoundError(
+                f"index at {self.path} has no pair_proximity table — "
+                f"build_pair_proximity() adds it (needs the original docs)"
+            )
+        return self._table(spark, "pair_proximity")
+
+    def pair_dict(self, spark: SparkSession) -> DataFrame | None:
+        """(pair, df, cf, n_blocks, max_tf) footer stats of the materialized
+        pairs; None when the stage never ran."""
+        p = os.path.join(self.path, "pair_dict")
+        if _done(p):
+            return self._table(spark, "pair_dict")
+        return None
+
+    def has_pair_proximity(self) -> bool:
+        return _done(os.path.join(self.path, "pair_proximity")) and _done(
+            os.path.join(self.path, "pair_dict")
+        )
+
     def term_deletes(self, spark: SparkSession) -> DataFrame | None:
         """(delvar, term) persisted SymSpell deletion table (max_edits=2
         expansion via delvar equi-join — no vocabulary scan). Returns None

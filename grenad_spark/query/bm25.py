@@ -100,6 +100,20 @@ PROX_QUERIES: list[tuple[int, str]] = [
     (5, "data stream"),
 ]
 
+# pair-proximity-DB query set (capped Meilisearch proximity semantics —
+# served from the materialized word_pair_proximity analog): the PROX set
+# plus a repeated-term query (self-pair needs two occurrences) and a
+# three-term query whose middle pair is usually beyond the 7-token window
+# (exercises the ABSENT_COST leg)
+PROX_DB_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "the join"),
+    (3, "key value stream"),
+    (4, "dup spark"),
+    (5, "data data"),
+    (6, "window the batch"),
+]
+
 # prefix-search query set (terms ending in * expand against the dictionary)
 PREFIX_QUERIES: list[tuple[int, str]] = [
     (1, "sp*"),
