@@ -960,6 +960,31 @@ _MIXED_QUERIES = [
 ]
 
 
+from grenad_spark.query.search import TypoSettings as _TypoSettings  # noqa: E402
+
+_TYPO_SETTINGS_KW = {"disable_on_words": {"wandow"}}
+
+
+@register(
+    "bm25_topk_typo_settings",
+    bm25.bm25_typo_settings_oracle_sql(
+        bm25.TYPO_SETTINGS_QUERIES, _TypoSettings(**_TYPO_SETTINGS_KW)
+    ),
+)
+def q_bm25_typo_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch typoTolerance settings: per-word edit budgets from
+    minWordSizeForTypos (5/9) + disableOnWords, expansion bucketed through
+    the persisted exact/bigram/SymSpell tables, ranked by the rule
+    pipeline (slots DESC, typos ASC, BM25 DESC, doc ASC)."""
+    from grenad_spark.query.search import TypoSettings, search_topk_typo_settings
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_typo_settings(
+        spark, idx, bm25.TYPO_SETTINGS_QUERIES,
+        TypoSettings(**_TYPO_SETTINGS_KW), k=10,
+    )
+
+
 @register("bm25_topk_fuzzy_ranked", bm25.bm25_fuzzy_ranked_oracle_sql())
 def q_bm25_fuzzy_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant search under the Meilisearch rule pipeline: covered
@@ -1777,8 +1802,11 @@ _DRIVER_GATE_ORDER = [
     # wand path — to make room for the bm25_topk_negative debut)
     # (bm25_topk_fuzzy demoted mid-round-5 — the bigram 1-edit expansion
     # also drives the gated bm25_topk_fuzzy_ranked — for the geo_bbox debut)
+    # (bm25_topk_fuzzy2 demoted mid-round-5 after 2 driver-green rounds —
+    # the SymSpell deletion-table path now gates through
+    # bm25_topk_typo_settings' budget-2 bucket — for that query's debut)
     "bm25_topk_wand_pruned", "bm25_topk_shared_pruned",
-    "bm25_topk_prefix", "bm25_topk_fuzzy2",
+    "bm25_topk_prefix",
     # (bm25_topk_and demoted mid-round-5 — conjunctive_matches also feeds
     # the gated bm25_topk_geo_sort — for the matching_frequency debut)
     # (bm25_topk_phrase demoted mid-round-5 — phrase_shared passes the
@@ -1799,7 +1827,7 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_negative", "bm25_topk_matching_last",
     "bm25_topk_matching_frequency", "bm25_topk_prefix_db",
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
-    "facet_value_search", "bm25_topk_proximity_db",
+    "facet_value_search", "bm25_topk_proximity_db", "bm25_topk_typo_settings",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1830,7 +1858,7 @@ _OVERFLOW_ORDER = [
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
-    "media_resize", "media_metadata", "bm25_topk_phrase",
+    "media_resize", "media_metadata", "bm25_topk_phrase", "bm25_topk_fuzzy2",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",

@@ -100,6 +100,19 @@ PROX_QUERIES: list[tuple[int, str]] = [
     (5, "data stream"),
 ]
 
+# typoTolerance-settings query set (per-word budgets from
+# minWordSizeForTypos 5/9 + disableOnWords): a 5-char 1-typo word beside an
+# exact short word, a 6-char 1-typo, an 8-char 1-typo, a 9-char 2-typo, a
+# short word denied typos (stays OOV), and a disabled word denied its typo
+TYPO_SETTINGS_QUERIES: list[tuple[int, str]] = [
+    (1, "mrege sort"),
+    (2, "striam"),
+    (3, "custoner"),
+    (4, "custonerr"),
+    (5, "sorr dup"),
+    (6, "wandow dup"),
+]
+
 # pair-proximity-DB query set (capped Meilisearch proximity semantics —
 # served from the materialized word_pair_proximity analog): the PROX set
 # plus a repeated-term query (self-pair needs two occurrences) and a
@@ -592,6 +605,69 @@ qx AS (
     ON r.qterm <> ''
    AND abs(length(v.term) - length(r.qterm)) <= {max_edits}
    AND levenshtein(v.term, r.qterm) <= {max_edits}
+),
+slotm AS (
+  SELECT qx.query_id, tdt.doc_id, qx.qterm, min(qx.lev) AS typos
+  FROM tdt JOIN qx ON tdt.term = qx.term
+  GROUP BY 1, 2, 3
+),
+agg2 AS (
+  SELECT query_id, doc_id, count(*)::INT AS hit_terms, sum(typos)::BIGINT AS typos
+  FROM slotm GROUP BY 1, 2
+),
+qt AS (SELECT DISTINCT query_id, term FROM qx),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, hit_terms, typos, score FROM (
+  SELECT s.query_id, s.doc_id, a.hit_terms, a.typos, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY a.hit_terms DESC, a.typos ASC, s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN agg2 a ON a.query_id = s.query_id AND a.doc_id = s.doc_id
+) WHERE rn <= {k}
+"""
+
+
+def bm25_typo_settings_oracle_sql(
+    queries: list[tuple[int, str]] | None = None,
+    settings=None,
+    k: int = DEFAULT_K,
+) -> str:
+    """DuckDB oracle for search_topk_typo_settings: the fuzzy_ranked oracle
+    with PER-WORD edit budgets (Meilisearch minWordSizeForTypos +
+    disableOnWords). Budgets are computed here with the SAME
+    TypoSettings.budget the engine uses, then inlined as VALUES rows."""
+    import re
+
+    from grenad_spark.query.search import TypoSettings
+
+    queries = queries if queries is not None else TYPO_SETTINGS_QUERIES
+    settings = settings or TypoSettings()
+    rows = []
+    for qid, q in queries:
+        for qterm in dict.fromkeys(
+            t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t
+        ):
+            rows.append(f"({int(qid)}, '{qterm}', {settings.budget(qterm)})")
+    vals = ", ".join(rows)
+    return f"""
+WITH {_CORPUS_CTES.format(tdt=sql_term_doc_tf('documents'))},
+rawq AS (SELECT * FROM (VALUES {vals}) AS v(query_id, qterm, budget)),
+qx AS (
+  SELECT r.query_id, r.qterm, v.term, levenshtein(v.term, r.qterm)::BIGINT AS lev
+  FROM rawq r JOIN vocab v
+    ON abs(length(v.term) - length(r.qterm)) <= r.budget
+   AND levenshtein(v.term, r.qterm) <= r.budget
 ),
 slotm AS (
   SELECT qx.query_id, tdt.doc_id, qx.qterm, min(qx.lev) AS typos

@@ -2019,6 +2019,112 @@ def search_topk_fuzzy_ranked(
     )
 
 
+class TypoSettings:
+    """Meilisearch typoTolerance settings: a query word shorter than
+    `one_typo` chars gets NO typo tolerance, `one_typo`..`two_typos`-1 chars
+    one typo, >= `two_typos` chars two; words in `disable_on_words` are
+    always exact-only. Meilisearch defaults are 5 / 9 / empty."""
+
+    def __init__(
+        self,
+        one_typo: int = 5,
+        two_typos: int = 9,
+        disable_on_words: set[str] | None = None,
+    ):
+        self.one_typo = int(one_typo)
+        self.two_typos = int(two_typos)
+        self.disable_on_words = {w.lower() for w in (disable_on_words or set())}
+
+    def budget(self, qterm: str) -> int:
+        if qterm in self.disable_on_words or len(qterm) < self.one_typo:
+            return 0
+        return 1 if len(qterm) < self.two_typos else 2
+
+
+def search_topk_typo_settings(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    settings: TypoSettings | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Typo-tolerant ranked search under PER-WORD typo budgets (Meilisearch
+    typoTolerance.minWordSizeForTypos + disableOnWords): each query word's
+    edit budget comes from settings.budget(word); ranking is the same rule
+    pipeline as search_topk_fuzzy_ranked (slots DESC, typos ASC, BM25 DESC,
+    doc ASC). (query_id, doc_id, hit_terms, typos, score).
+
+    Expansion runs per budget bucket through the persisted tables — exact
+    terms as an In(term)-pruned dictionary probe, 1-edit via the bigram
+    table, 2-edit via the SymSpell deletion table — so no bucket ever scans
+    the vocabulary."""
+    settings = settings or TypoSettings()
+    qslots: dict[int, list[str]] = {}
+    for qid, qterm in _tokenize_queries(queries):
+        qslots.setdefault(qid, []).append(qterm)
+    if not qslots:
+        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+    by_budget: dict[int, dict[int, list[str]]] = {0: {}, 1: {}, 2: {}}
+    for qid, slots in qslots.items():
+        for qterm in dict.fromkeys(slots):
+            by_budget[settings.budget(qterm)].setdefault(qid, []).append(qterm)
+    pairs: list[tuple[int, str]] = []
+    if by_budget[0]:
+        zero_terms = sorted({t for ts in by_budget[0].values() for t in ts})
+        present = {
+            r["term"]
+            for r in index.term_dict(spark)
+            .filter(F.col("term").isin(zero_terms))
+            .select("term")
+            .collect()
+        }
+        pairs.extend(
+            (qid, t)
+            for qid, ts in by_budget[0].items()
+            for t in ts
+            if t in present
+        )
+    for budget in (1, 2):
+        if by_budget[budget]:
+            sub = [(qid, " ".join(ts)) for qid, ts in sorted(by_budget[budget].items())]
+            pairs.extend(expand_fuzzy_queries(spark, index, sub, budget))
+    pairs = sorted(set(pairs))
+    if not pairs:
+        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+    # slot metadata under PER-SLOT budgets: expansion term t covers slot
+    # (qid, i) iff lev(t, word_i) <= budget(word_i)
+    slot_meta: dict[int, dict[str, list[tuple[int, int]]]] = {}
+    for qid, term in pairs:
+        tl = []
+        for slot, qterm in enumerate(qslots[qid]):
+            d = _levenshtein(term, qterm)
+            if d <= settings.budget(qterm):
+                tl.append((slot, d))
+        if tl:
+            slot_meta.setdefault(qid, {})[term] = tl
+    pairs = [(q, t) for q, t in pairs if t in slot_meta.get(q, {})]
+    if not pairs:
+        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "payload"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_typo_ranked_kernel(
+            slot_meta, float(index.avgdl), index.payload_codec
+        ),
+        _OUT_TYPO_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hit_terms"), F.asc("typos"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "hit_terms", "typos", "score")
+    )
+
+
 def search_topk_filtered(
     spark: SparkSession,
     index: IndexHandle,

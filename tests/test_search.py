@@ -567,3 +567,46 @@ def test_facet_value_search_prefix_count_order(spark, docs_small, index_small):
     }
     corpus = docs_small.filter("source = 'src19'").count()
     assert allv == {"src19": corpus}
+
+
+def test_typo_settings_budgets(spark, index_small):
+    """Per-word typo budgets: <5 chars exact-only, 5-8 one typo, >=9 two,
+    disableOnWords denies typos regardless of length."""
+    from grenad_spark.query.search import (
+        TypoSettings,
+        search_topk_fuzzy_ranked,
+        search_topk_typo_settings,
+    )
+
+    s = TypoSettings(disable_on_words={"wandow"})
+    assert [s.budget(w) for w in ("sorr", "mrege", "custoner", "custonerr")] == [
+        0, 1, 1, 2,
+    ]
+    assert s.budget("wandow") == 0  # disabled despite len 6
+
+    # a 4-char typo'd word matches nothing; the same word at budget>=1 would
+    got0 = search_topk_typo_settings(spark, index_small, [(1, "sorr")], s).collect()
+    assert got0 == []
+    got1 = search_topk_fuzzy_ranked(spark, index_small, [(1, "sorr")], max_edits=1)
+    assert got1.count() > 0  # 'sort' is one edit away — the budget was the gate
+
+    # disabled word: no expansion even though 'window' is lev-1 from 'wandow'
+    gotd = search_topk_typo_settings(spark, index_small, [(1, "wandow")], s).collect()
+    assert gotd == []
+
+    # 9-char word uses the two-typo (SymSpell) bucket
+    got2 = {
+        (r.doc_id, r.typos)
+        for r in search_topk_typo_settings(
+            spark, index_small, [(1, "custonerr")], s
+        ).collect()
+    }
+    assert got2 and all(t == 2 for _, t in got2)
+
+    # budget-respecting equivalence: when every word's budget is 1, the
+    # settings path equals fuzzy_ranked(max_edits=1)
+    qs = [(1, "mrege sort"), (2, "striam")]
+    s1 = TypoSettings(one_typo=1, two_typos=99)  # every word gets exactly 1
+    a = sorted(map(tuple, search_topk_typo_settings(spark, index_small, qs, s1).collect()))
+    b = sorted(map(tuple, search_topk_fuzzy_ranked(spark, index_small, qs, max_edits=1).collect()))
+    assert a == b
