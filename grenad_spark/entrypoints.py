@@ -960,6 +960,22 @@ _MIXED_QUERIES = [
 ]
 
 
+@register(
+    "bm25_topk_page",
+    bm25.bm25_page_oracle_sql(bm25.REFERENCE_QUERIES, offset=10, limit=10),
+)
+def q_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination with exhaustive totalHits (Meilisearch page/hitsPerPage
+    mode): the SECOND page (ranks 11-20) of every reference query plus the
+    exact disjunctive match-set size, from one untruncated scoring pass."""
+    from grenad_spark.query.search import search_topk_page
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_page(
+        spark, idx, bm25.REFERENCE_QUERIES, offset=10, limit=10
+    )
+
+
 from grenad_spark.query.search import TypoSettings as _TypoSettings  # noqa: E402
 
 _TYPO_SETTINGS_KW = {"disable_on_words": {"wandow"}}
@@ -1805,8 +1821,11 @@ _DRIVER_GATE_ORDER = [
     # (bm25_topk_fuzzy2 demoted mid-round-5 after 2 driver-green rounds —
     # the SymSpell deletion-table path now gates through
     # bm25_topk_typo_settings' budget-2 bucket — for that query's debut)
+    # (bm25_topk_prefix demoted mid-round-5 after 3 driver-green rounds —
+    # the dictionary-expansion path stays gated through
+    # bm25_topk_prefix_db's unmaterialized-prefix fallback leg — for the
+    # bm25_topk_page debut)
     "bm25_topk_wand_pruned", "bm25_topk_shared_pruned",
-    "bm25_topk_prefix",
     # (bm25_topk_and demoted mid-round-5 — conjunctive_matches also feeds
     # the gated bm25_topk_geo_sort — for the matching_frequency debut)
     # (bm25_topk_phrase demoted mid-round-5 — phrase_shared passes the
@@ -1828,6 +1847,7 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_matching_frequency", "bm25_topk_prefix_db",
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
     "facet_value_search", "bm25_topk_proximity_db", "bm25_topk_typo_settings",
+    "bm25_topk_page",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1859,6 +1879,7 @@ _OVERFLOW_ORDER = [
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
     "media_resize", "media_metadata", "bm25_topk_phrase", "bm25_topk_fuzzy2",
+    "bm25_topk_prefix",
     "kv_merge_concat", "kv_merge_keep_first", "kv_merge_keep_last",
     "kv_merge_sum_u32",
     "pricing_summary", "top_revenue_orders", "events_cube",

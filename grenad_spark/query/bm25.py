@@ -238,6 +238,51 @@ SELECT query_id, doc_id, score FROM (
 """
 
 
+def bm25_page_oracle_sql(
+    queries: list[tuple[int, str]] | None = None,
+    offset: int = 0,
+    limit: int = DEFAULT_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for search_topk_page: ranks offset+1..offset+limit of
+    the disjunctive BM25 ranking plus the exact match-set size."""
+    return f"""
+WITH tdt AS ({sql_term_doc_tf(table)}),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS dl
+  FROM {table}
+),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+        FROM {sql_queries_values(queries)})
+  WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score, rank, total_hits FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank,
+         count(*) OVER (PARTITION BY query_id)::BIGINT AS total_hits
+  FROM scored
+) WHERE rank > {int(offset)} AND rank <= {int(offset) + int(limit)}
+"""
+
+
 _SCORING_TAIL = f"""
 scored AS (
   SELECT qt.query_id, tdt.doc_id,

@@ -2019,6 +2019,48 @@ def search_topk_fuzzy_ranked(
     )
 
 
+def search_topk_page(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    offset: int = 0,
+    limit: int = 10,
+) -> DataFrame:
+    """Paginated search with EXHAUSTIVE total hits (the Meilisearch
+    page/hitsPerPage mode, which switches totalHits from an estimate to an
+    exact count): (query_id, doc_id, score, rank, total_hits) for ranks
+    offset+1 .. offset+limit, rank = (score DESC, doc_id ASC) position,
+    total_hits = full disjunctive match-set size.
+
+    Plan: the untruncated per-shard scorer (the AND path's kernel) feeds ONE
+    window pass that yields both the rank and the exact count — no second
+    scan. The sort carries the full match set, the price Meilisearch also
+    pays in this mode (its default estimatedTotalHits mode is the ordinary
+    top-k path, search_topk with k = offset + limit)."""
+    pairs = _tokenize_queries(queries)
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, rank int, total_hits long"
+        )
+    blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(float(index.avgdl), index.payload_codec),
+        _OUT_AND_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cw = Window.partitionBy("query_id")
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("total_hits", F.count("*").over(cw).cast("long"))
+        .filter((F.col("rank") > int(offset)) & (F.col("rank") <= int(offset) + int(limit)))
+        .select("query_id", "doc_id", "score", "rank", "total_hits")
+    )
+
+
 class TypoSettings:
     """Meilisearch typoTolerance settings: a query word shorter than
     `one_typo` chars gets NO typo tolerance, `one_typo`..`two_typos`-1 chars

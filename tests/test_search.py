@@ -610,3 +610,33 @@ def test_typo_settings_budgets(spark, index_small):
     a = sorted(map(tuple, search_topk_typo_settings(spark, index_small, qs, s1).collect()))
     b = sorted(map(tuple, search_topk_fuzzy_ranked(spark, index_small, qs, max_edits=1).collect()))
     assert a == b
+
+
+def test_pagination_pages_consistent(spark, index_small):
+    """Page 1 equals the top-k window, pages are disjoint and contiguous,
+    and total_hits is the exact match-set size on every row."""
+    from grenad_spark.query.search import search_topk, search_topk_page
+
+    qs = [(1, "merge sort"), (2, "data stream batch")]
+    p1 = search_topk_page(spark, index_small, qs, offset=0, limit=10).collect()
+    p2 = search_topk_page(spark, index_small, qs, offset=10, limit=10).collect()
+    topk = search_topk(spark, index_small, qs, k=10, mode="exhaustive").collect()
+    key = lambda r: (r.query_id, r.doc_id, r.score)
+    assert sorted(map(key, p1)) == sorted(map(key, topk))
+    assert not ({(r.query_id, r.doc_id) for r in p1}
+                & {(r.query_id, r.doc_id) for r in p2})
+    by_q = {}
+    for r in p1 + p2:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), qid
+        totals = {r.total_hits for r in rows}
+        assert len(totals) == 1
+        # exact exhaustive count: all pages together never exceed it, and a
+        # full-window page request drains exactly total_hits rows
+        th = totals.pop()
+        allrows = search_topk_page(
+            spark, index_small, [(qid, dict(qs)[qid])], offset=0, limit=10**6
+        ).count()
+        assert allrows == th
