@@ -477,6 +477,55 @@ def main() -> None:
         f"bites)"
     )
 
+    # pair-proximity DB leg (round 5): build the materialized
+    # word_pair_proximity analog beside the large index, then serve the
+    # proximity rule BOTH ways — query-time (full positional decode) vs the
+    # pair DB (In(pair)-pruned pair postings). The DB read should win and
+    # keep winning as the corpus grows: query-time work is O(term
+    # occurrences), DB work is O(pair postings of the query).
+    from grenad_spark.index.pairprox import (
+        build_pair_proximity,
+        search_topk_proximity_db,
+    )
+    from grenad_spark.query.phrase import search_topk_proximity
+
+    t0 = time.time()
+    build_pair_proximity(spark, pdocs, "/tmp/bench_idx_h_large",
+                         partitions=PLAN_PARTITIONS)
+    tpair = time.time() - t0
+    queries["pair_proximity_build"] = round(tpair, 3)
+    log(
+        f"pair-proximity build: {tpair:.1f}s ({pnd / max(tpair, 1e-9):.0f} "
+        f"docs/s; <=7x token stream through the same one-shuffle encode)"
+    )
+    prox_qs = [
+        (1, "merge sort"), (2, "the join"), (3, "key value stream"),
+        (4, "dup spark"), (5, "data stream"), (6, "hash join"),
+        (7, "group query row"), (8, "window the batch"),
+    ]
+    search_topk_proximity(spark, idx, prox_qs[:2], k=10).collect()  # warm
+    search_topk_proximity_db(spark, idx, prox_qs[:2], k=10).collect()  # warm
+
+    def phase_pairprox():
+        tq = td = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            search_topk_proximity(spark, idx, prox_qs, k=10).collect()
+            tq = min(tq, time.time() - t0)
+            t0 = time.time()
+            search_topk_proximity_db(spark, idx, prox_qs, k=10).collect()
+            td = min(td, time.time() - t0)
+        return tq, td
+
+    tq_prox, td_prox = run_phase("pairprox", phase_pairprox, retries=1)
+    queries["proximity_batch_8_positions"] = round(tq_prox, 3)
+    queries["proximity_batch_8_pairdb"] = round(td_prox, 3)
+    log(
+        f"proximity batch (8 queries): positions={tq_prox:.3f}s "
+        f"pair-db={td_prox:.3f}s ({tq_prox / max(td_prox, 1e-9):.2f}x — "
+        f"the reason Meilisearch materializes word_pair_proximity_docids)"
+    )
+
     # PHRASE SCALE LEG (r4 VERDICT #7): the same phrase workload at
     # XL_FACTOR x the corpus (segments + positions built fresh at the larger
     # size) — the O(postings) story is 'docs/s parity between the two sizes
@@ -910,6 +959,9 @@ def main() -> None:
     detail["positions_build_fielded_docs_per_sec"] = round(rnd / tfpos, 1)
     detail["ranked_sec_per_query"] = round(tr / len(ranked_qs), 4)
     detail["attr_rule_sec_per_query"] = round(ta / len(ranked_qs), 4)
+    detail["pair_proximity_build_docs_per_sec"] = round(pnd / max(tpair, 1e-9), 1)
+    detail["proximity_pairdb_speedup"] = round(tq_prox / max(td_prox, 1e-9), 2)
+    detail["proximity_pairdb_sec_per_query"] = round(td_prox / len(prox_qs), 4)
     if XL_FACTOR > 1:
         detail["phrase_xl_factor"] = XL_FACTOR
         detail["positions_build_docs_per_sec_xl"] = round(xnd / txpos, 1)
@@ -951,6 +1003,7 @@ def main() -> None:
         "positions_build_docs_per_sec": detail["positions_build_docs_per_sec"],
         "phrase_shared_sec_per_query": detail["phrase_shared_sec_per_query"],
         "ranked_sec_per_query": detail["ranked_sec_per_query"],
+        "proximity_pairdb_speedup": detail["proximity_pairdb_speedup"],
         "phrase_xl_shared_time_ratio": detail.get("phrase_xl_shared_time_ratio"),
         # per-phase best windows + clean flags only (full attempts in detail)
         "phase_probe_best": {
