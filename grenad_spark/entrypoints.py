@@ -1580,7 +1580,13 @@ def build_or_get_fielded_index(spark: SparkSession, sf_dir: str):
         build_index(
             spark, docs.select("doc_id", "text"), path, n_shards=4, overwrite=True
         )
-        build_positions(spark, fielded_docs(docs), path, fields=["title", "body"])
+        fd = fielded_docs(docs)
+        build_positions(spark, fd, path, fields=["title", "body"])
+        # the (doc_id, fid, wc) word-count DB (field_id_word_count_docids
+        # analog) rides beside the positions — exactness whole-field tier
+        from grenad_spark.query.fields import build_field_word_counts
+
+        build_field_word_counts(spark, fd, path, fields=["title", "body"])
         # fresh handle so the manifest reflects position_fields
         _INDEX_CACHE[fkey] = IndexHandle(path)
     return _INDEX_CACHE[fkey]
@@ -1612,6 +1618,43 @@ def q_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output so the oracle verifies each tier."""
     idx = build_or_get_fielded_index(spark, sf_dir)
     return _ranked.search_topk_ranked(spark, idx, _ranked.RANKED_QUERIES, k=10)
+
+
+from grenad_spark.query import fields as _fields  # noqa: E402
+
+
+@register(
+    "bm25_topk_search_on",
+    _fields.sql_search_on_topk(
+        _fields.SEARCH_ON_QUERIES, fields=("title",), title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_search_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attributesToSearchOn=["title"]: matching restricted to title-field
+    occurrences of the fid-keyed positions (tf counts those only);
+    df/dl/avgdl stay index-global — Meilisearch restricts matching, not
+    collection statistics (its rules are frequency-free)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _fields.search_topk_search_on(
+        spark, idx, _fields.SEARCH_ON_QUERIES, fields=["title"], k=10
+    )
+
+
+@register(
+    "bm25_topk_exact_field",
+    _fields.sql_exact_field_topk(
+        _fields.EXACT_FIELD_QUERIES, title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness whole-field tier (Meilisearch ExactAttribute): docs whose
+    ENTIRE title is the query rank first — query tokens at in-field
+    positions 0..n-1 (positions kernel) AND title word count == n via the
+    field_word_counts table (the field_id_word_count_docids analog)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _fields.search_topk_exact_field(
+        spark, idx, _fields.EXACT_FIELD_QUERIES, field="title", k=10
+    )
 
 
 # phrase set for the fresh/LSM read path: ordinary corpus phrases plus one
@@ -1807,7 +1850,7 @@ _DRIVER_GATE_ORDER = [
     # build stream + stats (Sorter input, partial+final agg; postings
     # demoted mid-round-5 — its varbyte encode path is exercised by
     # term_dict and every gated bm25_* decode — for the geo_radius debut)
-    "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",
+    "doc_lengths", "corpus_stats",
     # reader/cursor family (point/seek, batched block descent; prefix_scan/
     # range_scan/first_last_key demoted — pure JVM filters/aggs over
     # term_stats, the real cursor machinery is seek_gte_batch's block
@@ -1848,6 +1891,10 @@ _DRIVER_GATE_ORDER = [
     "bm25_topk_geo_radius", "bm25_topk_geo_bbox", "bm25_topk_geo_sort",
     "facet_value_search", "bm25_topk_proximity_db", "bm25_topk_typo_settings",
     "bm25_topk_page",
+    # (term_doc_tf + term_stats demoted mid-round-5 after 4 driver-green
+    # rounds — the identical token/agg stream feeds every gated bm25 build —
+    # for the search_on + exact_field debuts)
+    "bm25_topk_search_on", "bm25_topk_exact_field",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1875,6 +1922,7 @@ _DRIVER_GATE_ORDER = [
 _OVERFLOW_ORDER = [
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
+    "term_doc_tf", "term_stats",
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",

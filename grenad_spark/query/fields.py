@@ -1,0 +1,439 @@
+"""Field-scoped serving: attributesToSearchOn + the exactness whole-field
+tier (the `field_id_word_count_docids` analog).
+
+Meilisearch exposes two field-level query features beyond attribute RANKING:
+
+* `attributesToSearchOn` — restrict MATCHING to a subset of searchable
+  attributes. A document matches only through occurrences in the allowed
+  fields; everything else about the index is untouched.
+* the exactness rule's top tier, ExactAttribute — a document whose whole
+  attribute IS the query ranks above all other matches. Meilisearch decides
+  "whole attribute" with its `field_id_word_count_docids` grenad database
+  (fid, word_count) -> docids: the query must start at in-field position 0
+  AND the field's word count must equal the query length.
+
+Both are served here over the SAME field-aware positions table that powers
+the attribute rule (index/positions.py: fid packed in the high FIELD_BITS of
+each position), plus one new slim build artifact:
+
+  field_word_counts/   parquet (doc_id, fid, wc) — the word-count DB
+  transposed to doc-major (Spark joins by doc_id; the roaring-bitmap-per-
+  (fid,wc) layout is a point-lookup shape, not a join shape).
+
+Scoring choices (documented, oracle-matched):
+* search_on: tf is restricted to allowed-field occurrences; df / dl / avgdl
+  stay INDEX-GLOBAL. Meilisearch's ranking rules are frequency-free, so it
+  has no per-attribute collection statistics either — restricting matching
+  but not normalization is the faithful translation.
+* exact_field: candidates are ordinary disjunctive BM25 matches; the tier
+  key `exact` (1 iff query == whole field) sorts first, then score, doc_id.
+
+Plan shape = the house single-exchange kernel: pruned In(term) positions
+scan, broadcast (query_id, term, idf), ONE hash exchange into a per-
+(query_id, shard) Arrow kernel, global top-k window. The word-count join
+touches only matched docs (posting-sized left side); at cluster scale it
+co-partitions on doc_id with the index's shard hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf, tokens_col
+from grenad_spark.index.positions import FIELD_BITS, POS_BITS
+from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS, sql_queries_values
+from grenad_spark.query.phrase import _positions_blocks
+from grenad_spark.query.ranked import _decode_groups, _require_fielded
+from grenad_spark.query.search import _driver_idf, _tfpart, _tokenize_queries
+
+SEARCH_ON_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "the spark"),
+    (3, "data stream"),
+    (4, "key value row"),
+]
+
+# exactness tier: queries 1-2 are literal whole-title strings of one doc in
+# the sf0.001 / sf0.01 corpora; query 3 repeats a term (slot order matters);
+# query 4 never matches a whole 5-token title (n=2 < TITLE_TOKENS)
+EXACT_FIELD_QUERIES: list[tuple[int, str]] = [
+    (1, "the fast key order sort"),
+    (2, "key agg row scan slow"),
+    (3, "window merge spark merge batch"),
+    (4, "merge sort"),
+]
+
+_SEARCH_ON_SCHEMA = "query_id int, doc_id long, score double"
+_EXACT_SCHEMA = "query_id int, doc_id long, chain int, score double"
+
+
+def _allowed_fids(index, fields: list[str]) -> list[int]:
+    have = _require_fielded(index)
+    missing = [f for f in fields if f not in have]
+    if missing:
+        raise ValueError(f"unknown searchable attributes {missing}; index has {have}")
+    return [have.index(f) for f in fields]
+
+
+# ---------------------------------------------------------------------------
+# attributesToSearchOn
+# ---------------------------------------------------------------------------
+
+def _make_search_on_kernel(allowed: list[int], avgdl: float, codec: str):
+    allowed_arr = np.asarray(sorted(allowed), dtype=np.int64)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        decoded, idfs = _decode_groups(pdf, codec)
+        docs_parts, score_parts = [], []
+        for term, (d, tf, dl, pos, occ) in decoded.items():
+            if d.size == 0:
+                continue
+            mask = np.isin(pos >> np.int64(FIELD_BITS), allowed_arr)
+            # per-doc count of allowed-field occurrences (restricted tf)
+            cnt = np.add.reduceat(mask.astype(np.int64), occ)
+            sel = cnt > 0
+            if not sel.any():
+                continue
+            docs_parts.append(d[sel])
+            score_parts.append(
+                idfs[term]
+                * _tfpart(cnt[sel].astype(np.float64), dl[sel].astype(np.float64), avgdl)
+            )
+        if not docs_parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        out = (
+            pd.DataFrame(
+                {"doc_id": np.concatenate(docs_parts), "score": np.concatenate(score_parts)}
+            )
+            .groupby("doc_id", as_index=False)["score"]
+            .sum()
+        )
+        out.insert(0, "query_id", qid)
+        return out
+
+    return fn
+
+
+def search_topk_search_on(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    fields: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k with matching restricted to `fields`
+    (attributesToSearchOn): a doc matches a query term only through
+    occurrences whose fid is in the allowed set; tf counts those occurrences
+    only, while df/dl/avgdl remain index-global (see module docstring)."""
+    allowed = _allowed_fids(index, fields)
+    qt = _tokenize_queries(queries)
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    pairs = [
+        (qid, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for qid, t in qt
+        if dfm is None or t in dfm
+    ]
+    if not pairs:
+        return spark.createDataFrame([], _SEARCH_ON_SCHEMA)
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_search_on_kernel(allowed, float(index.avgdl), index.payload_codec),
+        _SEARCH_ON_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_search_on_topk(
+    queries: list[tuple[int, str]] | None = None,
+    fields: tuple[str, ...] = ("title",),
+    k: int = 10,
+    title_tokens: int = 5,
+) -> str:
+    """DuckDB oracle over the deterministic title/body split (title = first
+    `title_tokens` tokens): restricted tf from the field slice, global
+    df/dl/avgdl from the full text."""
+    queries = queries if queries is not None else SEARCH_ON_QUERIES
+    preds = []
+    for f in fields:
+        if f == "title":
+            preds.append(f"gs <= {title_tokens}")
+        elif f == "body":
+            preds.append(f"gs > {title_tokens}")
+        else:
+            raise ValueError(f"oracle knows title/body only, got {f}")
+    pred = " OR ".join(preds)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+tff AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS gs FROM tk)
+  WHERE ({pred}) AND term <> ''
+  GROUP BY 1, 2
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_split_to_array(lower(query), '{TOKEN_SPLIT_RE}')) AS term
+    FROM {sql_queries_values(queries)}
+  ) WHERE term <> ''
+),
+scored AS (
+  SELECT qt.query_id, tff.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tff.tf * ({K1} + 1)) / (tff.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tff
+  JOIN qt ON tff.term = qt.term
+  JOIN ts ON tff.term = ts.term
+  JOIN dl ON tff.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tff.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# field word counts (field_id_word_count_docids analog) + exactness tier
+# ---------------------------------------------------------------------------
+
+def field_word_counts_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "field_word_counts")
+
+
+def build_field_word_counts(
+    spark: SparkSession, fielded: DataFrame, index_dir: str, fields: list[str]
+) -> None:
+    """Write the (doc_id, fid, wc) table beside the index — Meilisearch's
+    `field_id_word_count_docids` re-expressed doc-major (reference stores
+    (fid, word_count) -> roaring bitmap in a grenad file; a join engine wants
+    it keyed by doc_id). One narrow projection, no shuffle beyond the write.
+    Resume: _SUCCESS short-circuits (the positions-build discipline)."""
+    out = field_word_counts_path(index_dir)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    wc = fielded.select(
+        "doc_id",
+        F.array(*[F.size(tokens_col(f)) for f in fields]).alias("_wcs"),
+    ).select("doc_id", F.posexplode("_wcs").alias("fid", "wc"))
+    wc.write.mode("overwrite").parquet(out)
+
+
+def _make_exact_kernel(
+    qterms: dict[int, list[str]], fid: int, avgdl: float, codec: str
+):
+    base = np.int64(fid) << np.int64(FIELD_BITS)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "chain": pd.Series(dtype="int32"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        toks = qterms[qid]
+        decoded, idfs = _decode_groups(pdf, codec)
+        # disjunctive BM25 over distinct matched terms
+        docs_parts, score_parts = [], []
+        for term, (d, tf, dl, pos, occ) in decoded.items():
+            if d.size == 0:
+                continue
+            docs_parts.append(d)
+            score_parts.append(
+                idfs[term]
+                * _tfpart(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+            )
+        if not docs_parts:
+            return empty
+        agg = (
+            pd.DataFrame(
+                {"doc_id": np.concatenate(docs_parts), "score": np.concatenate(score_parts)}
+            )
+            .groupby("doc_id", as_index=False)["score"]
+            .sum()
+        )
+        docs = agg["doc_id"].to_numpy()
+        # chain: token i of the query occurs at in-field position i of `fid`
+        # (packed occurrence keys are globally sorted: docs ascend, positions
+        # ascend per doc — the phrase-kernel discipline)
+        chain = np.ones(docs.size, dtype=bool) if all(t in decoded for t in toks) else None
+        if chain is not None:
+            for i, t in enumerate(toks):
+                d, tf, dl, pos, occ = decoded[t]
+                packed = (np.repeat(d, tf) << np.int64(POS_BITS)) | pos
+                want = (docs << np.int64(POS_BITS)) | (base + np.int64(i))
+                sel = np.searchsorted(packed, want)
+                np.clip(sel, 0, max(packed.size - 1, 0), out=sel)
+                chain &= packed.size > 0
+                if packed.size:
+                    chain &= packed[sel] == want
+                if not chain.any():
+                    chain = None
+                    break
+        agg.insert(0, "query_id", qid)
+        agg["chain"] = (
+            chain.astype(np.int32) if chain is not None else np.int32(0)
+        )
+        return agg[["query_id", "doc_id", "chain", "score"]]
+
+    return fn
+
+
+def search_topk_exact_field(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    field: str = "title",
+    k: int = 10,
+) -> DataFrame:
+    """Exactness whole-field tier: disjunctive BM25 matches ranked by
+    (exact DESC, score DESC, doc_id ASC), where exact = 1 iff the query is
+    the ENTIRE `field` of the doc — query tokens occupy in-field positions
+    0..n-1 (positions kernel) AND the field's word count equals n (the
+    field_word_counts table). Output (query_id, doc_id, exact, score)."""
+    import re
+
+    fid = _allowed_fids(index, [field])[0]
+    # ORDERED tokens WITH duplicates: chain position i is the i-th query
+    # token, and the word-count tier compares against the full token count
+    # (_tokenize_queries dedups — right for BM25 slots, wrong here)
+    qterms: dict[int, list[str]] = {
+        qid: [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        for qid, q in queries
+    }
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    qt = _tokenize_queries(queries)
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    pairs = [
+        (qid, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for qid, t in qt
+        if dfm is None or t in dfm
+    ]
+    if not pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, exact int, score double")
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exact_kernel(qterms, fid, float(index.avgdl), index.payload_codec),
+        _EXACT_SCHEMA,
+    )
+    wc = (
+        spark.read.parquet(field_word_counts_path(index.path))
+        .filter(F.col("fid") == int(fid))
+        .select("doc_id", "wc")
+    )
+    qn = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in qterms.items()], "query_id int, n_terms int"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("exact"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.join(wc, "doc_id", "left")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "exact",
+            F.coalesce(
+                ((F.col("chain") == 1) & (F.col("wc") == F.col("n_terms"))).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "exact", "score")
+    )
+
+
+def sql_exact_field_topk(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 10,
+    title_tokens: int = 5,
+) -> str:
+    """DuckDB oracle: exact = 1 iff the space-joined first-`title_tokens`
+    token slice equals the normalized query string (token arrays over
+    [a-z0-9]+ make string equality exactly token-list equality)."""
+    import re
+
+    queries = queries if queries is not None else EXACT_FIELD_QUERIES
+    norm = [
+        (qid, " ".join(t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t))
+        for qid, q in queries
+    ]
+    rows = ", ".join(f"({qid}, '{p}')" for qid, p in norm if p)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+q AS (SELECT * FROM (VALUES {rows}) AS v(query_id, qnorm)),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(qnorm, ' ')) AS term FROM q),
+ex AS (
+  SELECT q.query_id, tk.doc_id,
+         CASE WHEN array_to_string(list_slice(tk.t, 1, {title_tokens}), ' ') = q.qnorm
+              THEN 1 ELSE 0 END AS exact
+  FROM tk CROSS JOIN q
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, exact, score FROM (
+  SELECT s.query_id, s.doc_id, e.exact, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY e.exact DESC, s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN ex e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+) WHERE rn <= {k}
+"""
