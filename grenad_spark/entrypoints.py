@@ -1657,6 +1657,70 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from grenad_spark.query import hybrid as _hybrid  # noqa: E402
+
+
+@register("hybrid_topk", _hybrid.sql_hybrid_topk(_hybrid.HYBRID_QUERIES))
+def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword⊕vector search (Meilisearch semanticRatio): candidates
+    = BM25 matches ∪ semantic top-k, score = (1-ratio)·kw_norm +
+    ratio·sem_norm. Keyword side is the house pruned-scan kernel; the
+    semantic side is the brute-force exact baseline (IVF at cluster scale —
+    query/hybrid.py docstring)."""
+    from grenad_spark.corpus import load_embeddings
+
+    idx = build_or_get_index(spark, sf_dir)
+    return _hybrid.hybrid_topk(
+        spark, idx, load_embeddings(spark, sf_dir), _hybrid.HYBRID_QUERIES, k=10
+    )
+
+
+# federated split: 'en' vs the rest — two REAL indexes with their own
+# collection statistics (df/avgdl/n_docs), the thing federation means
+_FED_SPLITS = [("en", "lang = 'en'"), ("rest", "lang <> 'en'")]
+
+
+def build_or_get_split_indexes(spark: SparkSession, sf_dir: str):
+    from grenad_spark.index.build import CURRENT_FORMAT_VERSION, build_index
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    fkey = f"fed{key}"
+    if fkey not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        built = []
+        for name, _ in _FED_SPLITS:
+            flt = (
+                docs.filter(F.col("lang") == "en")
+                if name == "en"
+                else docs.filter(F.col("lang") != "en")
+            )
+            built.append(
+                (
+                    name,
+                    build_index(
+                        spark,
+                        flt.select("doc_id", "text"),
+                        f"/tmp/grenad_fed_{name}_v{CURRENT_FORMAT_VERSION}{key}",
+                        n_shards=2,
+                        overwrite=True,
+                    ),
+                )
+            )
+        _INDEX_CACHE[fkey] = built
+    return _INDEX_CACHE[fkey]
+
+
+@register(
+    "federated_topk", _hybrid.sql_federated_topk(_FED_SPLITS, _hybrid.FED_QUERIES)
+)
+def q_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-index search (Meilisearch /multi-search federation):
+    one query over two physical indexes (lang='en' / rest), each scored with
+    its OWN df/avgdl/n_docs, hit lists merged into one ranking."""
+    idxs = build_or_get_split_indexes(spark, sf_dir)
+    return _hybrid.federated_topk(spark, idxs, _hybrid.FED_QUERIES, k=10)
+
+
 # phrase set for the fresh/LSM read path: ordinary corpus phrases plus one
 # ("zz refresh") that exists ONLY in the re-crawled generation's text — it
 # must surface the refreshed docs and nothing else
@@ -1850,7 +1914,6 @@ _DRIVER_GATE_ORDER = [
     # build stream + stats (Sorter input, partial+final agg; postings
     # demoted mid-round-5 — its varbyte encode path is exercised by
     # term_dict and every gated bm25_* decode — for the geo_radius debut)
-    "doc_lengths", "corpus_stats",
     # reader/cursor family (point/seek, batched block descent; prefix_scan/
     # range_scan/first_last_key demoted — pure JVM filters/aggs over
     # term_stats, the real cursor machinery is seek_gte_batch's block
@@ -1895,6 +1958,10 @@ _DRIVER_GATE_ORDER = [
     # rounds — the identical token/agg stream feeds every gated bm25 build —
     # for the search_on + exact_field debuts)
     "bm25_topk_search_on", "bm25_topk_exact_field",
+    # (doc_lengths + corpus_stats demoted mid-round-5 after 4 driver-green
+    # rounds — both are pure aggregations whose outputs parameterize every
+    # gated bm25 score — for the hybrid + federated debuts)
+    "hybrid_topk", "federated_topk",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1922,7 +1989,7 @@ _DRIVER_GATE_ORDER = [
 _OVERFLOW_ORDER = [
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
-    "term_doc_tf", "term_stats",
+    "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
