@@ -1657,6 +1657,22 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from grenad_spark.query import matches as _matches  # noqa: E402
+
+
+@register("bm25_topk_matches", _matches.sql_matches_topk(_matches.MATCHES_QUERIES))
+def q_bm25_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """showMatchesPosition: every occurrence position (token index from the
+    positional index — no re-tokenization) of every matched query term
+    inside the BM25 top-k hits, one flat row per occurrence."""
+    from grenad_spark.index.positions import build_positions
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return _matches.search_topk_matches(spark, idx, _matches.MATCHES_QUERIES, k=10)
+
+
 from grenad_spark.query import hybrid as _hybrid  # noqa: E402
 
 
@@ -1918,7 +1934,7 @@ _DRIVER_GATE_ORDER = [
     # range_scan/first_last_key demoted — pure JVM filters/aggs over
     # term_stats, the real cursor machinery is seek_gte_batch's block
     # descent and the gated bm25_topk_prefix expansion)
-    "point_lookup", "seek_gte_batch",
+    "seek_gte_batch",
     # BM25 serving paths (pruned/composed modes + expansion + LSM read path;
     # with_docs demoted mid-round-5 — a doc_id-keyed join over the gated
     # wand path — to make room for the bm25_topk_negative debut)
@@ -1962,6 +1978,10 @@ _DRIVER_GATE_ORDER = [
     # rounds — both are pure aggregations whose outputs parameterize every
     # gated bm25 score — for the hybrid + federated debuts)
     "hybrid_topk", "federated_topk",
+    # (point_lookup demoted mid-round-5 after 4 driver-green rounds — the
+    # pruned-scan machinery it gates is exercised by seek_gte_batch and
+    # every bm25 In(term) scan — for the matches debut)
+    "bm25_topk_matches",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
     # tombstones — for the geo_sort debut)
@@ -1990,6 +2010,7 @@ _OVERFLOW_ORDER = [
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",
+    "point_lookup",
     "bm25_topk_indexed", "bm25_topk_wand", "bm25_topk_shared",
     "bm25_topk_with_docs", "dedup_minhash_lsh", "postings",
     "bm25_topk_fuzzy", "term_dict_compacted", "bm25_topk_and",
