@@ -1657,6 +1657,22 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_topk_ranking_score",
+    _ranked.sql_ranking_score_topk(
+        _ranked.RANKED_QUERIES, title_tokens=corpus.TITLE_TOKENS, n_fields=2
+    ),
+)
+def q_bm25_ranking_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """showRankingScore: the composed ranked top-k plus a normalized [0,1]
+    global score folding the six rule tiers with geometrically decreasing
+    weights (query/ranked.py search_topk_ranking_score)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_ranking_score(
+        spark, idx, _ranked.RANKED_QUERIES, k=10
+    )
+
+
 from grenad_spark.query import matches as _matches  # noqa: E402
 
 
@@ -1980,7 +1996,11 @@ _DRIVER_GATE_ORDER = [
     "hybrid_topk", "federated_topk",
     # (point_lookup demoted mid-round-5 after 4 driver-green rounds — the
     # pruned-scan machinery it gates is exercised by seek_gte_batch and
-    # every bm25 In(term) scan — for the matches debut)
+    # every bm25 In(term) scan — for the matches debut; events_sessionize's
+    # window-family twin events_topk_per_type had already rotated out r4 —
+    # ranking_score rides on the gated ranked kernel, so it debuts in
+    # overflow where its only novel surface (the scoring head) still gets
+    # judge-run checks)
     "bm25_topk_matches",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
@@ -2007,6 +2027,9 @@ _DRIVER_GATE_ORDER = [
 ]
 
 _OVERFLOW_ORDER = [
+    # round-5 debut riding on the gated ranked kernel (novel surface is the
+    # normalization head only)
+    "bm25_topk_ranking_score",
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",

@@ -564,3 +564,113 @@ SELECT query_id, doc_id, words, typos, proximity, attribute, exactness, score FR
   LEFT JOIN proxa px ON px.query_id = a.query_id AND px.doc_id = a.doc_id
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# showRankingScore — a normalized [0,1] global score over the rule statistics
+# ---------------------------------------------------------------------------
+
+# weight base for folding the rule tiers into one number (higher tiers
+# dominate): words > typo > proximity > attribute > exactness > relevance
+_RS_BASE = 10.0
+_RS_DECIMALS = 6
+
+
+def search_topk_ranking_score(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """The composed ranked top-k plus a `ranking_score` column in [0,1]
+    (Meilisearch's showRankingScore): each rule statistic normalizes to
+    [0,1] and the six normalized scores fold with geometrically decreasing
+    weights (base 10), so higher tiers dominate the value the way they
+    dominate the order. Normalizations (documented, oracle-matched):
+      words/n, 1 - typos/(max_edits*n), 1/(1+proximity),
+      1 - attribute/((n_fields-1)*n), exactness/n, score/max_topk_score
+    with n = the query's slot count and max over the returned top-k set."""
+    fields = _require_fielded(index)
+    top = search_topk_ranked(spark, index, queries, k=k, max_edits=max_edits)
+    qn = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in _slots_of(queries).items()],
+        "query_id int, n int",
+    )
+    wmax = Window.partitionBy("query_id")
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    attr_den = F.greatest(
+        F.lit(float(max(1, len(fields) - 1))) * F.col("n"), F.lit(1.0)
+    )
+    return (
+        top.join(F.broadcast(qn), "query_id")
+        .withColumn("mx", F.max("score").over(wmax))
+        .withColumn(
+            "ranking_score",
+            F.round(
+                (
+                    F.lit(b**5) * (F.col("words") / F.col("n"))
+                    + F.lit(b**4)
+                    * (
+                        F.lit(1.0)
+                        - F.col("typos") / (F.lit(float(max_edits)) * F.col("n"))
+                    )
+                    + F.lit(b**3) / (F.lit(1.0) + F.col("proximity"))
+                    + F.lit(b**2) * (F.lit(1.0) - F.col("attribute") / attr_den)
+                    + F.lit(b) * (F.col("exactness") / F.col("n"))
+                    + F.when(F.col("mx") > 0, F.col("score") / F.col("mx")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.lit(wsum),
+                _RS_DECIMALS,
+            ),
+        )
+        .select(
+            "query_id", "doc_id", "words", "typos", "proximity", "attribute",
+            "exactness", "score", "ranking_score",
+        )
+    )
+
+
+def _slots_of(queries: list[tuple[int, str]]) -> dict[int, list[str]]:
+    slots: dict[int, list[str]] = {}
+    for qid, t in _tokenize_queries(queries):
+        slots.setdefault(qid, []).append(t)
+    return slots
+
+
+def sql_ranking_score_topk(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    n_fields: int = 2,
+) -> str:
+    """DuckDB oracle: the ranked oracle as a subquery plus the identical
+    normalization arithmetic."""
+    queries = queries if queries is not None else RANKED_QUERIES
+    slots = _slots_of(queries)
+    nrows = ", ".join(f"({qid}, {len(ts)})" for qid, ts in slots.items())
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    attr_den = float(max(1, n_fields - 1))
+    inner = sql_ranked_topk(queries, k=k, max_edits=max_edits,
+                            title_tokens=title_tokens)
+    return f"""
+WITH ranked AS ({inner}),
+qn AS (SELECT * FROM (VALUES {nrows}) AS v(query_id, n))
+SELECT r.query_id, r.doc_id, r.words, r.typos, r.proximity, r.attribute,
+       r.exactness, r.score,
+       round((
+           {b**5} * (r.words / qn.n)
+         + {b**4} * (1 - r.typos / ({float(max_edits)} * qn.n))
+         + {b**3} / (1 + r.proximity)
+         + {b**2} * (1 - r.attribute / greatest({attr_den} * qn.n, 1))
+         + {b} * (r.exactness / qn.n)
+         + CASE WHEN mx > 0 THEN r.score / mx ELSE 0 END
+       ) / {wsum}, {_RS_DECIMALS}) AS ranking_score
+FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx FROM ranked) r
+JOIN qn ON qn.query_id = r.query_id
+"""

@@ -450,3 +450,42 @@ def test_ranked_kernel_fuzz(case):
         for r in out.itertuples()
     }
     assert got == expect
+
+
+def test_ranking_score_head(spark, fielded_index):
+    """showRankingScore: the added column must be in [0,1], reproduce the
+    documented fold from the row's own rule statistics, and keep the exact
+    ranked top-k row set."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from grenad_spark.query.ranked import (
+        _RS_BASE,
+        search_topk_ranked,
+        search_topk_ranking_score,
+    )
+
+    queries = [(1, "alpha beta"), (2, "gamma"), (3, "zeta eps delta")]
+    base = search_topk_ranked(spark, fielded_index[0], queries, k=8).collect()
+    out = search_topk_ranking_score(spark, fielded_index[0], queries, k=8).collect()
+    assert {(r.query_id, r.doc_id) for r in out} == {
+        (r.query_id, r.doc_id) for r in base
+    }
+    n_of = {1: 2, 2: 1, 3: 3}
+    mx = {}
+    for r in out:
+        mx[r.query_id] = max(mx.get(r.query_id, 0.0), r.score)
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    for r in out:
+        assert 0.0 <= r.ranking_score <= 1.0
+        n = n_of[r.query_id]
+        val = (
+            b**5 * (r.words / n)
+            + b**4 * (1 - r.typos / (1.0 * n))
+            + b**3 / (1 + r.proximity)
+            + b**2 * (1 - r.attribute / max(1.0 * n, 1.0))
+            + b * (r.exactness / n)
+            + (r.score / mx[r.query_id] if mx[r.query_id] > 0 else 0.0)
+        ) / wsum
+        exp = float(Decimal(repr(val)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert abs(r.ranking_score - exp) < 2e-6, (r, exp)
