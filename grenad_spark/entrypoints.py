@@ -1658,6 +1658,23 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk_exact_tiers",
+    _fields.sql_exact_tiers_topk(
+        _fields.EXACT_TIERS_QUERIES, title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_exact_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exactness tier ladder (Meilisearch exactness rule):
+    ExactAttribute (2) > MatchesStart (1) > other matches (0) over the title
+    field — the position chain alone is MatchesStart, chain + word-count
+    equality is ExactAttribute."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _fields.search_topk_exact_tiers(
+        spark, idx, _fields.EXACT_TIERS_QUERIES, field="title", k=10
+    )
+
+
+@register(
     "bm25_topk_ranking_score",
     _ranked.sql_ranking_score_topk(
         _ranked.RANKED_QUERIES, title_tokens=corpus.TITLE_TOKENS, n_fields=2
@@ -2027,9 +2044,10 @@ _DRIVER_GATE_ORDER = [
 ]
 
 _OVERFLOW_ORDER = [
-    # round-5 debut riding on the gated ranked kernel (novel surface is the
-    # normalization head only)
-    "bm25_topk_ranking_score",
+    # round-5 debuts riding on gated kernels (ranking_score = normalization
+    # head over the gated ranked kernel; exact_tiers = the gated exact_field
+    # kernel with the chain exposed as its own tier)
+    "bm25_topk_ranking_score", "bm25_topk_exact_tiers",
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",

@@ -437,3 +437,150 @@ SELECT query_id, doc_id, exact, score FROM (
   FROM scored s JOIN ex e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# full exactness tier ladder: ExactAttribute > MatchesStart > other matches
+# ---------------------------------------------------------------------------
+
+# tier-1 probes are PREFIXES of corpus titles (first 3 tokens of doc 0 at
+# sf0.001 / sf0.01), tier-2 probe is a whole title, the last never starts one
+EXACT_TIERS_QUERIES: list[tuple[int, str]] = [
+    (1, "the fast key"),
+    (2, "key agg row"),
+    (3, "window merge spark merge batch"),
+    (4, "merge sort"),
+]
+
+
+def search_topk_exact_tiers(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    field: str = "title",
+    k: int = 10,
+) -> DataFrame:
+    """Meilisearch's exactness rule tier ladder over one attribute:
+    tier 2 = ExactAttribute (query IS the whole field: position chain AND
+    word count), tier 1 = MatchesStart (query tokens occupy in-field
+    positions 0..n-1 — the chain alone), tier 0 = any other match. Ranked
+    (tier DESC, BM25 DESC, doc_id ASC); output (query_id, doc_id, tier,
+    score). Same kernel and word-count DB as search_topk_exact_field."""
+    import re
+
+    fid = _allowed_fids(index, [field])[0]
+    qterms: dict[int, list[str]] = {
+        qid: [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        for qid, q in queries
+    }
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    qt = _tokenize_queries(queries)
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    pairs = [
+        (qid, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for qid, t in qt
+        if dfm is None or t in dfm
+    ]
+    if not pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, tier int, score double")
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exact_kernel(qterms, fid, float(index.avgdl), index.payload_codec),
+        _EXACT_SCHEMA,
+    )
+    wc = (
+        spark.read.parquet(field_word_counts_path(index.path))
+        .filter(F.col("fid") == int(fid))
+        .select("doc_id", "wc")
+    )
+    qn = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in qterms.items()], "query_id int, n_terms int"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("tier"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.join(wc, "doc_id", "left")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "tier",
+            F.coalesce(
+                F.col("chain")
+                * (
+                    F.lit(1)
+                    + (F.col("wc") == F.col("n_terms")).cast("int")
+                ),
+                F.col("chain"),
+                F.lit(0),
+            ),
+        )
+        .withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "tier", "score")
+    )
+
+
+def sql_exact_tiers_topk(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 10,
+    title_tokens: int = 5,
+) -> str:
+    """DuckDB oracle: tier 2 ⟺ title slice == query AND title word count ==
+    n; tier 1 ⟺ the first n title tokens == query tokens; else 0."""
+    import re
+
+    queries = queries if queries is not None else EXACT_TIERS_QUERIES
+    norm = [
+        (qid, " ".join(t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t))
+        for qid, q in queries
+    ]
+    rows = ", ".join(
+        f"({qid}, '{p}', {len(p.split())})" for qid, p in norm if p
+    )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+q AS (SELECT * FROM (VALUES {rows}) AS v(query_id, qnorm, n)),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(qnorm, ' ')) AS term FROM q),
+ex AS (
+  SELECT q.query_id, tk.doc_id,
+         CASE
+           WHEN q.n <= {title_tokens}
+                AND array_to_string(list_slice(tk.t, 1, q.n), ' ') = q.qnorm
+           THEN CASE WHEN len(list_slice(tk.t, 1, {title_tokens})) = q.n
+                     THEN 2 ELSE 1 END
+           ELSE 0
+         END AS tier
+  FROM tk CROSS JOIN q
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, tier, score FROM (
+  SELECT s.query_id, s.doc_id, e.tier, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY e.tier DESC, s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN ex e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+) WHERE rn <= {k}
+"""

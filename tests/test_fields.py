@@ -162,3 +162,34 @@ def test_exact_field_prefix_is_not_exact(spark, fields_index):
     exact_docs = {r.doc_id for r in out.collect() if r.exact == 1}
     planted_dup = len(rows) - 2  # title "zeta alpha zeta" — prefix match only
     assert planted_dup not in exact_docs
+
+
+def test_exact_tiers_ladder(spark, fields_index):
+    """tier 2 ⟺ query == whole title; tier 1 ⟺ query is a strict PREFIX of
+    the title's token list; exact docs sort above starts-with above rest."""
+    from grenad_spark.query.fields import search_topk_exact_tiers
+
+    idx, rows = fields_index
+    planted_dup = len(rows) - 2   # title: zeta alpha zeta
+    queries = [
+        (1, "zeta alpha"),        # whole 2-token titles => 2; dup title => 1
+        (2, "zeta alpha zeta"),   # whole dup title => 2
+        (3, "theta theta theta theta"),  # never starts a title
+    ]
+    got = {}
+    for r in search_topk_exact_tiers(spark, idx, queries, field="title", k=10).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.tier))
+    for qid, q in queries:
+        qtoks = q.split()
+        for d, tier in got.get(qid, []):
+            t = next(tt for dd, tt, bb in rows if dd == d)
+            if tier == 2:
+                assert t == qtoks, (qid, d)
+            elif tier == 1:
+                assert t[: len(qtoks)] == qtoks and len(t) > len(qtoks), (qid, d)
+            else:
+                assert t[: len(qtoks)] != qtoks or len(t) < len(qtoks)
+        tiers = [tier for _, tier in got.get(qid, [])]
+        assert tiers == sorted(tiers, reverse=True), f"tier order {qid}"
+    assert (planted_dup, 1) in got[1]
+    assert (planted_dup, 2) in got[2]
