@@ -1947,7 +1947,10 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # place, highest-engine-risk first. Every registered query must land a hard
 # driver row at least every other round. New queries enter the gate window
 # on their debut round. The full registry stays judge-checkable every round
-# via tools/check_contract.py regardless of window position.
+# via tools/check_contract.py regardless of window position. Exception: a
+# debut whose ONLY novel surface is a projection/normalization head over an
+# already-gated kernel may start in overflow (documented at its entry) so
+# the window slots go to queries exercising new engine paths.
 #
 # Round-5 rotation: the entire round-4 phrase/rule/facet/media family
 # (never driver-gated) is promoted; demoted in exchange are 4-round-stable
