@@ -1936,6 +1936,170 @@ def q_term_dict_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 session-3 serving surfaces: custom rankingRules order, ranking
+# score details / threshold, facetStats, capped facet distribution
+# (sortFacetValuesBy + maxValuesPerFacet), the documents endpoint, and stop
+# words inside phrases.
+# ---------------------------------------------------------------------------
+
+from grenad_spark.operators.documents import (  # noqa: E402
+    fetch_documents as _fetch_documents,
+    sql_fetch_documents as _sql_fetch_documents,
+)
+from grenad_spark.query.phrase import (  # noqa: E402
+    PHRASE_STOP_WORDS,
+    STOP_PHRASE_QUERIES,
+    search_topk_phrase_stopwords as _search_phrase_stop,
+    sql_phrase_stopwords_topk as _sql_phrase_stop,
+)
+
+# a Meilisearch rankingRules permutation: typo outranks words, the custom
+# document-attribute rule n_chars:asc spliced mid-pipeline (shorter docs
+# win before proximity gets a say)
+CUSTOM_RULES = [
+    "typo", "words", "exactness", "n_chars:asc", "proximity", "attribute",
+    "relevance",
+]
+
+
+@register(
+    "bm25_topk_custom_rules",
+    _ranked.sql_custom_rules_topk(
+        _ranked.RANKED_QUERIES, CUSTOM_RULES, title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_custom_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rankingRules SETTING: the same one-pass rule statistics ranked
+    under a user-supplied order — typo before words, exactness third, and
+    the custom attribute rule n_chars:asc spliced in the middle
+    (query/ranked.py search_topk_custom_rules)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_custom_rules(
+        spark, idx, _ranked.RANKED_QUERIES, CUSTOM_RULES,
+        docs=_docs(spark, sf_dir), k=10,
+    )
+
+
+@register(
+    "bm25_topk_score_details",
+    _ranked.sql_score_details_topk(
+        _ranked.RANKED_QUERIES, title_tokens=corpus.TITLE_TOKENS, n_fields=2
+    ),
+)
+def q_bm25_score_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """showRankingScoreDetails: the per-rule normalized score breakdown
+    (words_score .. relevance_score) alongside the folded ranking_score for
+    every hit of the composed ranked page."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_score_details(
+        spark, idx, _ranked.RANKED_QUERIES, k=10
+    )
+
+
+_SCORE_THRESHOLD = 0.9
+
+
+@register(
+    "bm25_topk_score_threshold",
+    _ranked.sql_score_threshold_topk(
+        _ranked.RANKED_QUERIES, threshold=_SCORE_THRESHOLD,
+        title_tokens=corpus.TITLE_TOKENS, n_fields=2,
+    ),
+)
+def q_bm25_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rankingScoreThreshold (Meilisearch v1.13): hits scoring under the
+    threshold drop BEFORE pagination (ranking_score over the FULL match
+    set, global-max BM25 normalization), survivors rank under the default
+    pipeline."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_score_threshold(
+        spark, idx, _ranked.RANKED_QUERIES, threshold=_SCORE_THRESHOLD, k=10
+    )
+
+
+@register(
+    "facet_stats_search",
+    _facets.sql_facet_stats(["n_chars", "doc_id"], term="dup"),
+)
+def q_facet_stats_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facetStats: min/max/count of numeric facets over the docs matching a
+    search term — the match set comes from the In(term)-pruned posting-block
+    decode, the stats from one unpivot + aggregate."""
+    idx = build_or_get_index(spark, sf_dir)
+    return _facets.facet_stats(
+        spark, idx, _docs(spark, sf_dir), ["n_chars", "doc_id"], term="dup"
+    )
+
+
+@register(
+    "facet_counts_capped",
+    _facets.sql_facet_distribution_capped(
+        ["lang", "source"], max_values_per_facet=4, sort_by="count"
+    ),
+)
+def q_facet_counts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxValuesPerFacet + sortFacetValuesBy=count: the facet distribution
+    truncated to the 4 most frequent values per facet ((cnt DESC, value ASC)
+    is a total order, so the cap is deterministic)."""
+    return _facets.facet_distribution_capped(
+        _docs(spark, sf_dir), ["lang", "source"], max_values_per_facet=4,
+        sort_by="count",
+    )
+
+
+@register(
+    "facet_counts_capped_alpha",
+    _facets.sql_facet_distribution_capped(
+        ["lang", "source"], max_values_per_facet=3, sort_by="alpha"
+    ),
+)
+def q_facet_counts_capped_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortFacetValuesBy=alpha: the lexicographically first 3 values per
+    facet, with their counts."""
+    return _facets.facet_distribution_capped(
+        _docs(spark, sf_dir), ["lang", "source"], max_values_per_facet=3,
+        sort_by="alpha",
+    )
+
+
+_DOCS_FETCH_ARGS = dict(
+    fields=["lang", "n_chars"],
+    filter_expr="lang = 'en' AND n_chars >= 200",
+    after=50,
+    limit=20,
+)
+
+
+@register("documents_fetch", _sql_fetch_documents(**_DOCS_FETCH_ARGS))
+def q_documents_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /documents: a filtered, field-projected KEYSET page (doc_id >
+    after, first 20) — the cursor-walk shape of grenad's sorted-key readers
+    applied to the documents store; the doc_id predicate reaches the
+    parquet scan."""
+    return _fetch_documents(_docs(spark, sf_dir), **_DOCS_FETCH_ARGS)
+
+
+@register(
+    "bm25_topk_phrase_stopwords",
+    _sql_phrase_stop(STOP_PHRASE_QUERIES, PHRASE_STOP_WORDS),
+)
+def q_bm25_phrase_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop words inside phrases: edge stop words drop from the quoted
+    phrase, interior ones become single-token WILDCARDS in the offset
+    chain ('merge the sort' = merge <any token> sort); stop terms never
+    reach the positions scan. All-stop and OOV-survivor phrases match
+    nothing."""
+    from grenad_spark.index.positions import build_positions
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return _search_phrase_stop(
+        spark, idx, STOP_PHRASE_QUERIES, PHRASE_STOP_WORDS, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver hash-gates a PREFIX of the registry (the
 # first 50 queries), so insertion order decides which queries get hard
 # CORRECTNESS rows each round.
@@ -2022,10 +2186,18 @@ _DRIVER_GATE_ORDER = [
     # overflow where its only novel surface (the scoring head) still gets
     # judge-run checks)
     "bm25_topk_matches",
+    # round-5 session-3 debuts: custom rule order (supersedes sorted_attr's
+    # attribute join — that query stays gated), full-match-set threshold
+    # (exercises the unranked stats path no other query gates), facetStats
+    # (posting-decode match set + a NEW agg head), keyset documents page,
+    # and the stop-word wildcard phrase chain (a new kernel semantics)
+    "bm25_topk_custom_rules", "bm25_topk_score_threshold",
+    "facet_stats_search", "documents_fetch", "bm25_topk_phrase_stopwords",
     # index roundtrip + full Merger/compaction chains (term_dict_compacted
     # demoted mid-round-5 — the deletes variant is the same chain plus
-    # tombstones — for the geo_sort debut)
-    "term_dict", "term_dict_compacted_deletes",
+    # tombstones — for the geo_sort debut; term_dict itself demoted for the
+    # session-3 debuts — the compacted_deletes chain is the superset)
+    "term_dict_compacted_deletes",
     # scrub + media plumbing — promoted (r4 VERDICT #1; media_resize
     # demoted mid-round-5 — frames+features cover the same mapInPandas
     # decode plumbing — for the bm25_topk_prefix_db debut; media_metadata
@@ -2037,20 +2209,30 @@ _DRIVER_GATE_ORDER = [
     # dedup/ANN engine kernels (banded/iterative paths stay gated;
     # minhash_lsh demoted mid-round-5 — clusters is its superset, the
     # banding kernel feeds the gated connected-components chain — to make
-    # room for the bm25_topk_matching_last debut)
-    "dedup_ngram_jaccard", "dedup_minhash_clusters",
-    "dedup_embedding_cosine",
-    # composed curation (clustered = superset semantics of the plain one)
-    "curation_pipeline_clustered",
-    # ANN (kmeans covers assignment+Lloyd; LSH covers banding)
-    "ann_ivf_kmeans_topk", "ann_lsh_topk",
+    # room for the bm25_topk_matching_last debut; ngram_jaccard +
+    # embedding_cosine + curation_clustered + ann_lsh demoted for the
+    # session-3 debuts after 2+ driver-green rounds: the banded candidate
+    # generation they share stays gated through dedup_minhash_clusters and
+    # ann_ivf_kmeans, and the curation composition is glue over gated parts)
+    "dedup_minhash_clusters",
+    # ANN (kmeans covers assignment+Lloyd and the centroid argmax)
+    "ann_ivf_kmeans_topk",
 ]
 
 _OVERFLOW_ORDER = [
     # round-5 debuts riding on gated kernels (ranking_score = normalization
     # head over the gated ranked kernel; exact_tiers = the gated exact_field
-    # kernel with the chain exposed as its own tier)
+    # kernel with the chain exposed as its own tier; score_details = the
+    # ranking_score fold unfolded into its components; the capped facet
+    # distributions = a row_number window over the long-green facet_counts
+    # aggregate)
     "bm25_topk_ranking_score", "bm25_topk_exact_tiers",
+    "bm25_topk_score_details", "facet_counts_capped",
+    "facet_counts_capped_alpha",
+    # session-3 demotions (2+ driver-green rounds, paths covered by gated
+    # supersets — see the gate-list notes) — first in line for re-promotion
+    "term_dict", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "curation_pipeline_clustered", "ann_lsh_topk",
     # 4-round-stable demotions (see rotation note above) — first in line for
     # re-promotion next round
     "term_doc_tf", "term_stats", "doc_lengths", "corpus_stats",

@@ -220,6 +220,99 @@ def facet_value_search(
     )
 
 
+def facet_stats(
+    spark: SparkSession,
+    index,
+    docs: DataFrame,
+    numeric_cols: list[str],
+    term: str | None = None,
+) -> DataFrame:
+    """(facet, vmin, vmax, cnt) — Meilisearch's `facetStats` response field:
+    min/max of every NUMERIC facet over the match set (all docs, or the docs
+    matching `term` via the same In(term)-pruned posting-block decode as
+    facet_counts_for_term). One unpivot + one aggregate; the shuffle carries
+    |facets| rows per partition after map-side combine."""
+    base = docs
+    if term is not None:
+        base = docs.join(matching_doc_ids(spark, index, term), "doc_id")
+    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in numeric_cols)
+    unpivoted = base.selectExpr(
+        f"stack({len(numeric_cols)}, {pairs}) AS (facet, value)"
+    )
+    return unpivoted.groupBy("facet").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("value").cast("long").alias("cnt"),
+    )
+
+
+def sql_facet_stats(
+    numeric_cols: list[str], term: str | None = None, table: str = "documents"
+) -> str:
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+
+    base = table
+    if term is not None:
+        base = (
+            f"(SELECT d.* FROM {table} d JOIN (SELECT DISTINCT doc_id FROM "
+            f"({sql_term_doc_tf(table)}) WHERE term = '{term}') m "
+            f"ON d.doc_id = m.doc_id)"
+        )
+    parts = [
+        f"SELECT '{c}' AS facet, min(CAST({c} AS DOUBLE)) AS vmin, "
+        f"max(CAST({c} AS DOUBLE)) AS vmax, count({c})::BIGINT AS cnt "
+        f"FROM {base} t"
+        for c in numeric_cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def facet_distribution_capped(
+    docs: DataFrame,
+    facet_cols: list[str],
+    max_values_per_facet: int = 100,
+    sort_by: str = "count",
+) -> DataFrame:
+    """(facet, value, cnt) truncated to `max_values_per_facet` VALUES PER
+    FACET under Meilisearch's sortFacetValuesBy setting: 'count' keeps the
+    most-frequent values ((cnt DESC, value ASC) — the default dashboard
+    shape), 'alpha' the lexicographically first. Both orders are total, so
+    the cap is deterministic; the window runs on the already-aggregated
+    (facet, value) rows — |distinct values|, never |docs|."""
+    from pyspark.sql.window import Window
+
+    if sort_by == "count":
+        order = [F.desc("cnt"), F.asc("value")]
+    elif sort_by == "alpha":
+        order = [F.asc("value")]
+    else:
+        raise ValueError(f"sortFacetValuesBy must be 'count' or 'alpha', got {sort_by!r}")
+    counts = facet_counts(docs, facet_cols)
+    w = Window.partitionBy("facet").orderBy(*order)
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_values_per_facet))
+        .select("facet", "value", "cnt")
+    )
+
+
+def sql_facet_distribution_capped(
+    facet_cols: list[str],
+    max_values_per_facet: int = 100,
+    sort_by: str = "count",
+    table: str = "documents",
+) -> str:
+    order = (
+        "cnt DESC, value ASC" if sort_by == "count" else "value ASC"
+    )
+    return f"""
+SELECT facet, value, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY facet ORDER BY {order}) AS rn
+  FROM ({sql_facet_counts(facet_cols, table)})
+) WHERE rn <= {int(max_values_per_facet)}
+"""
+
+
 def sql_facet_value_search(
     facet_col: str,
     facet_query: str,

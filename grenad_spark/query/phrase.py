@@ -78,9 +78,20 @@ def _positions_blocks(spark, index, n_docs, pairs, use_dfm: bool):
     )
 
 
-def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str):
+def _make_phrase_kernel(
+    phrases: dict[int, list[str]] | dict[int, list[tuple[int, str]]],
+    avgdl: float,
+    codec: str,
+):
     """applyInPandas kernel over one (query_id, shard) group of position
-    blocks (term, idf, n, header, positions)."""
+    blocks (term, idf, n, header, positions). Each phrase is either a token
+    list (offsets = 0..n-1, plain adjacency) or an explicit (offset, term)
+    CHAIN — gaps in the offsets are single-token wildcards, the stop-word
+    semantics of search_topk_phrase_stopwords."""
+    chains: dict[int, list[tuple[int, str]]] = {
+        qid: list(enumerate(v)) if v and isinstance(v[0], str) else list(v)
+        for qid, v in phrases.items()
+    }
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -91,7 +102,8 @@ def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str)
             }
         )
         qid = int(pdf["query_id"].iloc[0])
-        toks = phrases[qid]
+        chain = chains[qid]
+        toks = [t for _, t in chain]
         # decode each distinct term once. Sort blocks by first_doc WITHIN the
         # term: multi-file parquet scans scramble row order, and the packed
         # (doc, pos) keys below must be globally sorted for searchsorted /
@@ -109,7 +121,7 @@ def _make_phrase_kernel(phrases: dict[int, list[str]], avgdl: float, codec: str)
             return empty  # a phrase term absent from this shard => no match here
         # offset-chain intersection on packed (doc, pos - i) keys
         keys = None
-        for i, t in enumerate(toks):
+        for i, t in chain:
             d, tf, _dl, pos, _occ = decoded[t]
             dk = np.repeat(d, tf) << np.int64(POS_BITS)
             adj = pos - i
@@ -234,6 +246,162 @@ def search_topk_phrase(
         .filter(F.col("rn") <= int(k))
         .select("query_id", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# stop words inside phrases — Meilisearch keeps quoted phrases working when
+# the index has stop words configured: edge stop words are ignored, interior
+# ones occupy exactly one token position without constraining which token
+# ---------------------------------------------------------------------------
+
+# contract query set: edge stops, interior-stop wildcards, multi-stop,
+# all-stop (matches nothing), OOV survivor (matches nothing)
+PHRASE_STOP_WORDS: set[str] = {"a", "the"}
+STOP_PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "the fast merge"),
+    (2, "merge the sort"),
+    (3, "value a row"),
+    (4, "the a fast"),
+    (5, "a the a"),
+    (6, "sort the zzzunknown"),
+]
+
+
+def _stopword_chain(
+    toks: list[str], stop_words: set[str]
+) -> list[tuple[int, str]] | None:
+    """(offset, term) chain for a phrase under stop words: leading/trailing
+    stop words drop (offsets rebase to the first kept token), interior stop
+    words keep their position as a single-token WILDCARD (the offset gap).
+    None when no token survives — an all-stop phrase matches nothing."""
+    lo, hi = 0, len(toks)
+    while lo < hi and toks[lo] in stop_words:
+        lo += 1
+    while hi > lo and toks[hi - 1] in stop_words:
+        hi -= 1
+    chain = [
+        (i - lo, t) for i, t in enumerate(toks[:hi]) if i >= lo and t not in stop_words
+    ]
+    return chain or None
+
+
+def search_topk_phrase_stopwords(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    stop_words: set[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase BM25 with index-configured STOP WORDS: `"the fast
+    join"` with 'the' stopped matches docs where some token precedes is
+    irrelevant — it matches `fast join` adjacently; `"merge the sort"`
+    matches `merge <any one token> sort`. Same plan as search_topk_phrase
+    (pruned In(term) positions scan over the NON-STOP terms only — stop
+    words never even reach the scan, the index-side reason Meilisearch
+    recommends stop lists — one exchange into the offset-chain kernel);
+    BM25 ranks over the surviving distinct terms."""
+    phrases = _tokenize_phrases(queries)
+    chains: dict[int, list[tuple[int, str]]] = {}
+    for qid, toks in phrases.items():
+        ch = _stopword_chain(toks, stop_words)
+        if ch is not None:
+            chains[qid] = ch
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    pairs: list[tuple[int, str, float]] = []
+    for qid, ch in chains.items():
+        terms = {t for _, t in ch}
+        if dfm is not None:
+            if any(t not in dfm for t in terms):
+                continue  # OOV surviving term => phrase cannot match
+            pairs.extend((qid, t, _driver_idf(n_docs, dfm[t])) for t in sorted(terms))
+        else:
+            pairs.extend((qid, t, float("nan")) for t in sorted(terms))
+    if not pairs:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_phrase_kernel(chains, float(index.avgdl), index.payload_codec),
+        _OUT_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_phrase_stopwords_topk(
+    queries: list[tuple[int, str]],
+    stop_words: set[str],
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for search_topk_phrase_stopwords: the chain becomes a
+    regex over the normalized token stream — literal tokens at kept offsets,
+    `[a-z0-9]+` at interior stop offsets (exactly one token), edges trimmed;
+    BM25 over the surviving distinct terms."""
+    import re
+
+    from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+    rows, term_rows = [], []
+    for qid, q in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        ch = _stopword_chain(toks, stop_words)
+        if ch is None:
+            continue
+        offs = dict(ch)
+        span = max(offs) + 1
+        pat = " ".join(offs.get(i, "[a-z0-9]+") for i in range(span))
+        rows.append(f"({qid}, ' {pat} ')")
+        term_rows.extend(f"({qid}, '{t}')" for t in sorted({t for _, t in ch}))
+    if not rows:
+        return (
+            "SELECT NULL::INT AS query_id, NULL::BIGINT AS doc_id, "
+            "NULL::DOUBLE AS score WHERE false"
+        )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf(table)}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM {table}
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+q AS (SELECT * FROM (VALUES {", ".join(rows)}) AS v(query_id, pat)),
+qt AS (SELECT * FROM (VALUES {", ".join(term_rows)}) AS v(query_id, term)),
+match AS (
+  SELECT q.query_id, toks.doc_id
+  FROM toks CROSS JOIN q
+  WHERE regexp_matches(' ' || array_to_string(toks.t, ' ') || ' ', q.pat)
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM match m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN tdt ON tdt.term = qt.term AND tdt.doc_id = m.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN cs
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------

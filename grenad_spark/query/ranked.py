@@ -335,21 +335,17 @@ def _make_ranked_kernel(
     return fn
 
 
-def search_topk_ranked(
+def _ranked_stats(
     spark: SparkSession,
     index,
     queries: list[tuple[int, str]],
-    k: int = 10,
     max_edits: int = 1,
 ) -> DataFrame:
-    """The COMPOSED Meilisearch default ranking in one entry point:
-    words DESC -> typos ASC -> proximity ASC -> attribute ASC ->
-    exactness DESC -> BM25 DESC -> doc_id ASC, with <=max_edits typo
-    expansion (persisted bigram/SymSpell tables, no vocabulary scan).
-    Requires FIELD-AWARE positions (build_positions fields=[...]).
-    Returns every rule's statistic so consumers (and the oracle) can verify
-    each tier: (query_id, doc_id, words, typos, proximity, attribute,
-    exactness, score)."""
+    """Every rule statistic for every matching (query, doc) pair — the
+    UNRANKED output of the composed kernel (one pruned positions scan, one
+    exchange), before any rule ORDER is applied. Both the default pipeline
+    and custom rule orders are windows over this same DataFrame; score is
+    already rounded to SCORE_DECIMALS."""
     _require_fielded(index)
     pairs0 = expand_fuzzy_queries(spark, index, queries, max_edits)
     if not pairs0:
@@ -382,17 +378,114 @@ def search_topk_ranked(
         _make_ranked_kernel(qslots, slot_meta, float(index.avgdl), index.payload_codec),
         _RANKED_OUT_SCHEMA,
     )
+    return per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+
+
+def search_topk_ranked(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """The COMPOSED Meilisearch default ranking in one entry point:
+    words DESC -> typos ASC -> proximity ASC -> attribute ASC ->
+    exactness DESC -> BM25 DESC -> doc_id ASC, with <=max_edits typo
+    expansion (persisted bigram/SymSpell tables, no vocabulary scan).
+    Requires FIELD-AWARE positions (build_positions fields=[...]).
+    Returns every rule's statistic so consumers (and the oracle) can verify
+    each tier: (query_id, doc_id, words, typos, proximity, attribute,
+    exactness, score)."""
+    per_shard = _ranked_stats(spark, index, queries, max_edits)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("words"), F.asc("typos"), F.asc("proximity"), F.asc("attribute"),
         F.desc("exactness"), F.desc("score"), F.asc("doc_id"),
     )
     return (
-        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
-        .withColumn("rn", F.row_number().over(w))
+        per_shard.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= int(k))
         .select(
             "query_id", "doc_id", "words", "typos", "proximity", "attribute",
             "exactness", "score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom ranking-rule order — the Meilisearch `rankingRules` setting
+# ---------------------------------------------------------------------------
+
+# builtin rule name -> (stats column, sort direction of a BETTER hit)
+RANKING_RULES: dict[str, tuple[str, str]] = {
+    "words": ("words", "desc"),
+    "typo": ("typos", "asc"),
+    "proximity": ("proximity", "asc"),
+    "attribute": ("attribute", "asc"),
+    "exactness": ("exactness", "desc"),
+    "relevance": ("score", "desc"),  # the BM25 tier (Meilisearch's "sort"-less tail)
+}
+
+DEFAULT_RULES = ["words", "typo", "proximity", "attribute", "exactness", "relevance"]
+
+
+def _parse_rules(rules: list[str]) -> list[tuple[str, str, bool]]:
+    """[(column, direction, is_custom_attribute)] — a rule is either a
+    builtin name from RANKING_RULES or a Meilisearch custom rule
+    '<document attribute>:asc|desc' inserted anywhere in the pipeline."""
+    parsed: list[tuple[str, str, bool]] = []
+    for r in rules:
+        if r in RANKING_RULES:
+            col, direction = RANKING_RULES[r]
+            parsed.append((col, direction, False))
+        elif ":" in r:
+            attr, _, direction = r.rpartition(":")
+            if direction not in ("asc", "desc") or not attr:
+                raise ValueError(f"custom ranking rule must be 'attr:asc|desc', got {r!r}")
+            parsed.append((attr, direction, True))
+        else:
+            raise ValueError(
+                f"unknown ranking rule {r!r} (builtins: {sorted(RANKING_RULES)})"
+            )
+    return parsed
+
+
+def search_topk_custom_rules(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    rules: list[str],
+    docs: DataFrame | None = None,
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Meilisearch's `rankingRules` setting: the SAME one-pass kernel
+    statistics ranked under a USER-SUPPLIED rule order — any permutation /
+    subset of the builtins plus custom document-attribute rules
+    ('n_chars:asc'), which Meilisearch lets users splice anywhere in the
+    pipeline. Custom attribute rules need `docs`; the attribute joins in by
+    doc_id AFTER the kernel (work ∝ candidate set, the sortable-attributes
+    plan shape). doc_id ASC is always the final tiebreak. Returns the six
+    statistics plus every custom attribute used, so each tier is
+    oracle-checkable."""
+    parsed = _parse_rules(rules)
+    per_shard = _ranked_stats(spark, index, queries, max_edits)
+    custom_cols = list(dict.fromkeys(c for c, _, is_c in parsed if is_c))
+    if custom_cols:
+        if docs is None:
+            raise ValueError(f"custom attribute rules {custom_cols} need docs")
+        per_shard = per_shard.join(
+            docs.select("doc_id", *custom_cols), "doc_id"
+        )
+    order = [
+        F.asc(c) if d == "asc" else F.desc(c) for c, d, _ in parsed
+    ] + [F.asc("doc_id")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        per_shard.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select(
+            "query_id", "doc_id", "words", "typos", "proximity", "attribute",
+            "exactness", "score", *custom_cols,
         )
     )
 
@@ -552,16 +645,58 @@ scored AS (
   CROSS JOIN cs
   GROUP BY qt.query_id, tdt.doc_id
 )
-SELECT query_id, doc_id, words, typos, proximity, attribute, exactness, score FROM (
+,
+cand AS (
   SELECT a.query_id, a.doc_id, a.words, a.typos,
          coalesce(px.proximity, 0)::BIGINT AS proximity,
-         a.attribute, a.exactness, s.score,
-         row_number() OVER (PARTITION BY a.query_id
-           ORDER BY a.words DESC, a.typos ASC, coalesce(px.proximity, 0) ASC,
-                    a.attribute ASC, a.exactness DESC, s.score DESC, a.doc_id ASC) AS rn
+         a.attribute, a.exactness, s.score
   FROM agg a
   JOIN scored s ON s.query_id = a.query_id AND s.doc_id = a.doc_id
   LEFT JOIN proxa px ON px.query_id = a.query_id AND px.doc_id = a.doc_id
+)
+SELECT query_id, doc_id, words, typos, proximity, attribute, exactness, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY words DESC, typos ASC, proximity ASC,
+                    attribute ASC, exactness DESC, score DESC, doc_id ASC) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
+
+
+def sql_custom_rules_topk(
+    queries: list[tuple[int, str]] | None = None,
+    rules: list[str] | None = None,
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB oracle for search_topk_custom_rules: the ranked oracle's
+    candidate set re-windowed under the user rule order (custom document
+    attributes joined from the documents table)."""
+    parsed = _parse_rules(rules if rules is not None else DEFAULT_RULES)
+    custom_cols = list(dict.fromkeys(c for c, _, is_c in parsed if is_c))
+    inner = sql_ranked_topk(
+        queries, k=10**9, max_edits=max_edits, title_tokens=title_tokens
+    )
+    join = (
+        f" JOIN {docs_table} d ON d.doc_id = c.doc_id" if custom_cols else ""
+    )
+    extra = "".join(f", d.{c}" for c in custom_cols)
+    order = ", ".join(
+        f"{'d' if is_c else 'c'}.{c} {d.upper()}" for c, d, is_c in parsed
+    ) + ", c.doc_id ASC"
+    out_cols = (
+        "query_id, doc_id, words, typos, proximity, attribute, exactness, score"
+        + "".join(f", {c}" for c in custom_cols)
+    )
+    return f"""
+WITH ranked_all AS ({inner})
+SELECT {out_cols} FROM (
+  SELECT c.query_id, c.doc_id, c.words, c.typos, c.proximity, c.attribute,
+         c.exactness, c.score{extra},
+         row_number() OVER (PARTITION BY c.query_id ORDER BY {order}) AS rn
+  FROM ranked_all c{join}
 ) WHERE rn <= {k}
 """
 
@@ -574,6 +709,62 @@ SELECT query_id, doc_id, words, typos, proximity, attribute, exactness, score FR
 # dominate): words > typo > proximity > attribute > exactness > relevance
 _RS_BASE = 10.0
 _RS_DECIMALS = 6
+
+
+# the six per-rule normalized components, in pipeline order; ranking_score
+# folds them with weights base^5..base^0
+_RS_COMPONENTS = [
+    "words_score", "typo_score", "proximity_score", "attribute_score",
+    "exactness_score", "relevance_score",
+]
+
+
+def _with_score_components(
+    df: DataFrame,
+    qn: DataFrame,
+    n_fields: int,
+    max_edits: int,
+) -> DataFrame:
+    """Adds the six normalized rule components + their base-10 weighted fold
+    `ranking_score` to a stats DataFrame. `relevance_score` normalizes by the
+    query's max BM25 over whatever candidate set `df` holds (a top-k page or
+    the full match set — the caller picks the Meilisearch semantics)."""
+    wmax = Window.partitionBy("query_id")
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    attr_den = F.greatest(
+        F.lit(float(max(1, n_fields - 1))) * F.col("n"), F.lit(1.0)
+    )
+    out = (
+        df.join(F.broadcast(qn), "query_id")
+        .withColumn("mx", F.max("score").over(wmax))
+        .withColumn("words_score", F.col("words") / F.col("n"))
+        .withColumn(
+            "typo_score",
+            F.lit(1.0) - F.col("typos") / (F.lit(float(max_edits)) * F.col("n")),
+        )
+        .withColumn("proximity_score", F.lit(1.0) / (F.lit(1.0) + F.col("proximity")))
+        .withColumn("attribute_score", F.lit(1.0) - F.col("attribute") / attr_den)
+        .withColumn("exactness_score", F.col("exactness") / F.col("n"))
+        .withColumn(
+            "relevance_score",
+            F.when(F.col("mx") > 0, F.col("score") / F.col("mx")).otherwise(F.lit(0.0)),
+        )
+    )
+    fold = sum(
+        F.lit(b ** (5 - i)) * F.col(c) for i, c in enumerate(_RS_COMPONENTS)
+    )
+    out = out.withColumn("ranking_score", F.round(fold / F.lit(wsum), _RS_DECIMALS))
+    for c in _RS_COMPONENTS:
+        out = out.withColumn(c, F.round(c, _RS_DECIMALS))
+    return out
+
+
+def _qn_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in _slots_of(queries).items()],
+        "query_id int, n int",
+    )
 
 
 def search_topk_ranking_score(
@@ -593,40 +784,59 @@ def search_topk_ranking_score(
     with n = the query's slot count and max over the returned top-k set."""
     fields = _require_fielded(index)
     top = search_topk_ranked(spark, index, queries, k=k, max_edits=max_edits)
-    qn = spark.createDataFrame(
-        [(qid, len(ts)) for qid, ts in _slots_of(queries).items()],
-        "query_id int, n int",
+    return _with_score_components(
+        top, _qn_df(spark, queries), len(fields), max_edits
+    ).select(
+        "query_id", "doc_id", "words", "typos", "proximity", "attribute",
+        "exactness", "score", "ranking_score",
     )
-    wmax = Window.partitionBy("query_id")
-    b = _RS_BASE
-    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
-    attr_den = F.greatest(
-        F.lit(float(max(1, len(fields) - 1))) * F.col("n"), F.lit(1.0)
+
+
+def search_topk_score_details(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Meilisearch's showRankingScoreDetails: the top-k page with the
+    PER-RULE normalized score breakdown (words_score .. relevance_score,
+    each in [0,1], pipeline order) alongside the folded ranking_score —
+    the same arithmetic as search_topk_ranking_score, unfolded so a
+    consumer can see which tier separated two hits."""
+    fields = _require_fielded(index)
+    top = search_topk_ranked(spark, index, queries, k=k, max_edits=max_edits)
+    return _with_score_components(
+        top, _qn_df(spark, queries), len(fields), max_edits
+    ).select("query_id", "doc_id", *_RS_COMPONENTS, "ranking_score", "score")
+
+
+def search_topk_score_threshold(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    threshold: float,
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Meilisearch's rankingScoreThreshold (v1.13): hits whose normalized
+    ranking_score falls below `threshold` are dropped BEFORE pagination, so
+    the page backfills with the next-best qualifying hits. The threshold
+    applies to the score computed over the FULL match set (relevance
+    normalizes by the query's global max BM25, not the page max), then the
+    default rule pipeline orders the survivors."""
+    fields = _require_fielded(index)
+    stats = _ranked_stats(spark, index, queries, max_edits)
+    scored = _with_score_components(
+        stats, _qn_df(spark, queries), len(fields), max_edits
+    ).filter(F.col("ranking_score") >= float(threshold))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("words"), F.asc("typos"), F.asc("proximity"), F.asc("attribute"),
+        F.desc("exactness"), F.desc("score"), F.asc("doc_id"),
     )
     return (
-        top.join(F.broadcast(qn), "query_id")
-        .withColumn("mx", F.max("score").over(wmax))
-        .withColumn(
-            "ranking_score",
-            F.round(
-                (
-                    F.lit(b**5) * (F.col("words") / F.col("n"))
-                    + F.lit(b**4)
-                    * (
-                        F.lit(1.0)
-                        - F.col("typos") / (F.lit(float(max_edits)) * F.col("n"))
-                    )
-                    + F.lit(b**3) / (F.lit(1.0) + F.col("proximity"))
-                    + F.lit(b**2) * (F.lit(1.0) - F.col("attribute") / attr_den)
-                    + F.lit(b) * (F.col("exactness") / F.col("n"))
-                    + F.when(F.col("mx") > 0, F.col("score") / F.col("mx")).otherwise(
-                        F.lit(0.0)
-                    )
-                )
-                / F.lit(wsum),
-                _RS_DECIMALS,
-            ),
-        )
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
         .select(
             "query_id", "doc_id", "words", "typos", "proximity", "attribute",
             "exactness", "score", "ranking_score",
@@ -673,4 +883,96 @@ SELECT r.query_id, r.doc_id, r.words, r.typos, r.proximity, r.attribute,
        ) / {wsum}, {_RS_DECIMALS}) AS ranking_score
 FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx FROM ranked) r
 JOIN qn ON qn.query_id = r.query_id
+"""
+
+
+def _sql_component_exprs(max_edits: int, attr_den: float) -> dict[str, str]:
+    """SQL text of each normalized component over a row aliased r (+ qn.n,
+    r.mx) — MUST mirror _with_score_components exactly."""
+    return {
+        "words_score": "(r.words / qn.n)",
+        "typo_score": f"(1 - r.typos / ({float(max_edits)} * qn.n))",
+        "proximity_score": "(1.0 / (1 + r.proximity))",
+        "attribute_score": f"(1 - r.attribute / greatest({attr_den} * qn.n, 1))",
+        "exactness_score": "(r.exactness / qn.n)",
+        "relevance_score": "(CASE WHEN mx > 0 THEN r.score / mx ELSE 0 END)",
+    }
+
+
+def sql_score_details_topk(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    n_fields: int = 2,
+) -> str:
+    """DuckDB oracle for search_topk_score_details — per-rule normalized
+    components + the folded ranking_score over the top-k page."""
+    queries = queries if queries is not None else RANKED_QUERIES
+    slots = _slots_of(queries)
+    nrows = ", ".join(f"({qid}, {len(ts)})" for qid, ts in slots.items())
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    comps = _sql_component_exprs(max_edits, float(max(1, n_fields - 1)))
+    comp_cols = ",\n       ".join(
+        f"round({expr}, {_RS_DECIMALS}) AS {name}" for name, expr in comps.items()
+    )
+    fold = " + ".join(
+        f"{b ** (5 - i)} * {comps[c]}" for i, c in enumerate(_RS_COMPONENTS)
+    )
+    inner = sql_ranked_topk(queries, k=k, max_edits=max_edits,
+                            title_tokens=title_tokens)
+    return f"""
+WITH ranked AS ({inner}),
+qn AS (SELECT * FROM (VALUES {nrows}) AS v(query_id, n))
+SELECT r.query_id, r.doc_id,
+       {comp_cols},
+       round(({fold}) / {wsum}, {_RS_DECIMALS}) AS ranking_score,
+       r.score
+FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx FROM ranked) r
+JOIN qn ON qn.query_id = r.query_id
+"""
+
+
+def sql_score_threshold_topk(
+    queries: list[tuple[int, str]] | None = None,
+    threshold: float = 0.5,
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    n_fields: int = 2,
+) -> str:
+    """DuckDB oracle for search_topk_score_threshold — ranking_score over
+    the FULL match set (global max BM25 normalization), threshold filter,
+    then the default pipeline window."""
+    queries = queries if queries is not None else RANKED_QUERIES
+    slots = _slots_of(queries)
+    nrows = ", ".join(f"({qid}, {len(ts)})" for qid, ts in slots.items())
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    comps = _sql_component_exprs(max_edits, float(max(1, n_fields - 1)))
+    fold = " + ".join(
+        f"{b ** (5 - i)} * {comps[c]}" for i, c in enumerate(_RS_COMPONENTS)
+    )
+    inner = sql_ranked_topk(queries, k=10**9, max_edits=max_edits,
+                            title_tokens=title_tokens)
+    return f"""
+WITH ranked_all AS ({inner}),
+qn AS (SELECT * FROM (VALUES {nrows}) AS v(query_id, n)),
+rs AS (
+  SELECT r.query_id, r.doc_id, r.words, r.typos, r.proximity, r.attribute,
+         r.exactness, r.score,
+         round(({fold}) / {wsum}, {_RS_DECIMALS}) AS ranking_score
+  FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx
+        FROM ranked_all) r
+  JOIN qn ON qn.query_id = r.query_id
+)
+SELECT query_id, doc_id, words, typos, proximity, attribute, exactness, score,
+       ranking_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY words DESC, typos ASC, proximity ASC, attribute ASC,
+             exactness DESC, score DESC, doc_id ASC) AS rn
+  FROM rs WHERE ranking_score >= {float(threshold)}
+) WHERE rn <= {k}
 """

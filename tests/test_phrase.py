@@ -728,3 +728,55 @@ def test_proximity_kernel_fuzz(case):
     out = _make_proximity_kernel({1: phrase}, avgdl, "none")(pdf)
     got = dict(zip(out["doc_id"], out["proximity"]))
     assert got == expect
+
+
+def test_phrase_stopwords_bruteforce(spark, phrase_index):
+    """Stop words in phrases: edge stops drop, interior stops are
+    single-token wildcards; all-stop and OOV-survivor phrases match
+    nothing. Brute-forced over the raw token streams."""
+    from grenad_spark.query.phrase import (
+        _stopword_chain,
+        search_topk_phrase_stopwords,
+    )
+
+    idx, rows = phrase_index
+    stop = {"alpha", "eps"}
+    queries = [
+        (1, "alpha beta"),              # leading stop -> plain "beta"
+        (2, "beta alpha gamma"),        # interior wildcard
+        (3, "gamma eps alpha"),         # trailing stops -> plain "gamma"
+        (4, "alpha eps"),               # all-stop -> nothing
+        (5, "beta alpha nosuchword"),   # OOV survivor -> nothing
+        (6, "delta alpha alpha zeta"),  # two-wide interior wildcard
+    ]
+    got = search_topk_phrase_stopwords(spark, idx, queries, stop, k=10**6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    for qid, q in queries:
+        ch = _stopword_chain(q.split(), stop)
+        expect = set()
+        if ch:
+            span = max(o for o, _ in ch) + 1
+            for d, text in rows:
+                tt = text.split()
+                if any(
+                    all(tt[p + o] == t for o, t in ch)
+                    for p in range(len(tt) - span + 1)
+                ):
+                    expect.add(d)
+        assert by_q.get(qid, set()) == expect, (qid, q)
+
+
+def test_stopword_chain_shapes():
+    from grenad_spark.query.phrase import _stopword_chain
+
+    assert _stopword_chain(["the", "fast"], {"the"}) == [(0, "fast")]
+    assert _stopword_chain(["fast", "the"], {"the"}) == [(0, "fast")]
+    assert _stopword_chain(["merge", "the", "sort"], {"the"}) == [
+        (0, "merge"), (2, "sort"),
+    ]
+    assert _stopword_chain(["the", "a"], {"the", "a"}) is None
+    assert _stopword_chain(
+        ["the", "x", "the", "the", "y", "a"], {"the", "a"}
+    ) == [(0, "x"), (3, "y")]

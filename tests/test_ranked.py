@@ -489,3 +489,124 @@ def test_ranking_score_head(spark, fielded_index):
         ) / wsum
         exp = float(Decimal(repr(val)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
         assert abs(r.ranking_score - exp) < 2e-6, (r, exp)
+
+
+def _fold(r, n, mx, b, max_edits=1, n_fields=2):
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    return (
+        b**5 * (r.words / n)
+        + b**4 * (1 - r.typos / (max_edits * n))
+        + b**3 / (1 + r.proximity)
+        + b**2 * (1 - r.attribute / max((n_fields - 1.0) * n, 1.0))
+        + b * (r.exactness / n)
+        + (r.score / mx if mx > 0 else 0.0)
+    ) / wsum
+
+
+def test_custom_rules_matches_python_rerank(spark, fielded_index):
+    """rankingRules permutation (typo first, a custom n_toks:asc attribute
+    rule spliced mid-pipeline) must equal re-sorting the FULL default
+    statistics under the permuted key."""
+    from grenad_spark.query.ranked import search_topk_custom_rules, search_topk_ranked
+
+    idx, rows = fielded_index
+    queries = [(1, "alpha beta"), (2, "gama delta"), (3, "zeta eps")]
+    full = search_topk_ranked(spark, idx, queries, k=10**6).collect()
+    ntoks = {d: len(t) + len(b) for d, t, b in rows}
+    docs = spark.createDataFrame(
+        [(d, len(t) + len(b)) for d, t, b in rows], "doc_id long, n_toks long"
+    )
+    rules = ["typo", "exactness", "n_toks:asc", "words", "relevance"]
+    k = 7
+    got = search_topk_custom_rules(spark, idx, queries, rules, docs=docs, k=k).collect()
+    assert all(r.n_toks == ntoks[r.doc_id] for r in got)
+
+    def key(r):
+        return (r.typos, -r.exactness, ntoks[r.doc_id], -r.words, -r.score, r.doc_id)
+
+    for qid in {q for q, _ in queries}:
+        exp = [r.doc_id for r in sorted(
+            (r for r in full if r.query_id == qid), key=key)][:k]
+        gq = [r.doc_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=key)]
+        assert gq == exp, qid
+
+
+def test_custom_rules_validation(spark, fielded_index):
+    import pytest as _pytest
+
+    from grenad_spark.query.ranked import search_topk_custom_rules
+
+    idx, _rows = fielded_index
+    with _pytest.raises(ValueError, match="unknown ranking rule"):
+        search_topk_custom_rules(spark, idx, [(1, "alpha")], ["wordz"], k=3)
+    with _pytest.raises(ValueError, match="need docs"):
+        search_topk_custom_rules(spark, idx, [(1, "alpha")], ["n_toks:asc"], k=3)
+    with _pytest.raises(ValueError, match="asc"):
+        search_topk_custom_rules(spark, idx, [(1, "alpha")], ["n_toks:up"], k=3)
+
+
+def test_score_details_components(spark, fielded_index):
+    """showRankingScoreDetails: every component in [0,1], the base-10 fold
+    of the components reproduces ranking_score, and the row set equals the
+    showRankingScore page."""
+    from grenad_spark.query.ranked import (
+        _RS_BASE,
+        search_topk_ranking_score,
+        search_topk_score_details,
+    )
+
+    queries = [(1, "alpha beta"), (2, "gama delta")]
+    idx = fielded_index[0]
+    det = search_topk_score_details(spark, idx, queries, k=8).collect()
+    rs = search_topk_ranking_score(spark, idx, queries, k=8).collect()
+    assert {(r.query_id, r.doc_id, r.ranking_score) for r in det} == {
+        (r.query_id, r.doc_id, r.ranking_score) for r in rs
+    }
+    b = _RS_BASE
+    wsum = b**5 + b**4 + b**3 + b**2 + b + 1.0
+    comps = ["words_score", "typo_score", "proximity_score", "attribute_score",
+             "exactness_score", "relevance_score"]
+    for r in det:
+        vals = [getattr(r, c) for c in comps]
+        assert all(0.0 <= v <= 1.0 for v in vals), r
+        fold = sum(b ** (5 - i) * v for i, v in enumerate(vals)) / wsum
+        # components are rounded to 6dp AFTER the fold, so allow their
+        # propagated rounding error
+        assert abs(fold - r.ranking_score) < 3e-6, r
+
+
+def test_score_threshold_backfills_from_full_match_set(spark, fielded_index):
+    """rankingScoreThreshold: equals python-folding the FULL match set with
+    the query-global max BM25, filtering, then default-pipeline ranking."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from grenad_spark.query.ranked import _RS_BASE, search_topk_ranked, search_topk_score_threshold
+
+    idx, _rows = fielded_index
+    queries = [(1, "alpha beta"), (2, "gama delta")]
+    n_of = {1: 2, 2: 2}
+    full = search_topk_ranked(spark, idx, queries, k=10**6).collect()
+    mx = {}
+    for r in full:
+        mx[r.query_id] = max(mx.get(r.query_id, 0.0), r.score)
+    scored = [
+        (r, float(Decimal(repr(_fold(r, n_of[r.query_id], mx[r.query_id], _RS_BASE)))
+                  .quantize(Decimal("0.000001"), ROUND_HALF_UP)))
+        for r in full
+    ]
+    # a median-ish threshold so both keep and drop paths execute
+    all_scores = sorted(s for _, s in scored)
+    thr = all_scores[len(all_scores) // 2]
+    k = 6
+    got = search_topk_score_threshold(spark, idx, queries, threshold=thr, k=k).collect()
+    for qid in n_of:
+        keep = [r for r, s in scored if r.query_id == qid and s >= thr]
+        keep.sort(key=lambda r: (-r.words, r.typos, r.proximity, r.attribute,
+                                 -r.exactness, -r.score, r.doc_id))
+        exp = [r.doc_id for r in keep[:k]]
+        gq = sorted((r for r in got if r.query_id == qid),
+                    key=lambda r: (-r.words, r.typos, r.proximity, r.attribute,
+                                   -r.exactness, -r.score, r.doc_id))
+        assert [r.doc_id for r in gq] == exp, qid
+        assert all(r.ranking_score >= thr for r in gq)
