@@ -2079,6 +2079,42 @@ def q_documents_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fetch_documents(_docs(spark, sf_dir), **_DOCS_FETCH_ARGS)
 
 
+_RANKED_FILTER = "n_chars >= 150 AND lang <> 'de'"
+
+
+@register(
+    "bm25_topk_ranked_filtered",
+    _ranked.sql_ranked_filtered_topk(
+        _ranked.RANKED_QUERIES, _RANKED_FILTER, title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_ranked_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The everyday Meilisearch request: `filter:` + the FULL default
+    pipeline — the attribute filter semi-joins the ranked kernel's
+    candidates BEFORE the window, so the page backfills."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_ranked_filtered(
+        spark, idx, _docs(spark, sf_dir), _ranked.RANKED_QUERIES,
+        _RANKED_FILTER, k=10,
+    )
+
+
+@register(
+    "bm25_topk_ranked_distinct",
+    _ranked.sql_ranked_distinct_topk(
+        _ranked.RANKED_QUERIES, "lang", title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_ranked_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct attribute composed with the FULL default pipeline:
+    best-ranked hit per (query, lang) under the pipeline order, then the
+    global top-k under the same order."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _ranked.search_topk_ranked_distinct(
+        spark, idx, _docs(spark, sf_dir), _ranked.RANKED_QUERIES, "lang", k=10
+    )
+
+
 @register(
     "bm25_topk_phrase_stopwords",
     _sql_phrase_stop(STOP_PHRASE_QUERIES, PHRASE_STOP_WORDS),
@@ -2229,6 +2265,11 @@ _OVERFLOW_ORDER = [
     "bm25_topk_ranking_score", "bm25_topk_exact_tiers",
     "bm25_topk_score_details", "facet_counts_capped",
     "facet_counts_capped_alpha",
+    # filter/distinct composed with the full pipeline: the ranked kernel is
+    # gated (bm25_topk_ranked), the filter semi-join shape is gated
+    # (bm25_topk_filtered), the per-value dedup window is gated
+    # (bm25_topk_distinct_attr) — the debut here is their composition
+    "bm25_topk_ranked_filtered", "bm25_topk_ranked_distinct",
     # session-3 demotions (2+ driver-green rounds, paths covered by gated
     # supersets — see the gate-list notes) — first in line for re-promotion
     "term_dict", "dedup_ngram_jaccard", "dedup_embedding_cosine",

@@ -411,6 +411,134 @@ def search_topk_ranked(
     )
 
 
+def _default_order_cols():
+    # built lazily — Column constructors need an active SparkContext
+    return [
+        F.desc("words"), F.asc("typos"), F.asc("proximity"), F.asc("attribute"),
+        F.desc("exactness"), F.desc("score"), F.asc("doc_id"),
+    ]
+
+_RANKED_OUT_COLS = [
+    "query_id", "doc_id", "words", "typos", "proximity", "attribute",
+    "exactness", "score",
+]
+
+
+def search_topk_ranked_filtered(
+    spark: SparkSession,
+    index,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    filter_sql: str,
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """The everyday Meilisearch request shape: `filter:` + the FULL default
+    ranking pipeline. The filter side is a pruned documents scan (only
+    doc_id + filter columns read) semi-joined on doc_id BEFORE the window,
+    so dropped docs never enter the top-k; the ranked kernel is unchanged
+    (same one exchange). Returns every rule statistic like
+    search_topk_ranked."""
+    stats = _ranked_stats(spark, index, queries, max_edits)
+    allowed = docs.filter(F.expr(filter_sql)).select("doc_id")
+    w = Window.partitionBy("query_id").orderBy(*_default_order_cols())
+    return (
+        stats.join(allowed, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select(*_RANKED_OUT_COLS)
+    )
+
+
+def search_topk_ranked_distinct(
+    spark: SparkSession,
+    index,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    distinct_attr: str,
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """The `distinct` attribute composed with the FULL default pipeline
+    (Meilisearch applies distinct to every search): only the best-ranked
+    hit per (query, attribute value) survives — rank-1 within the value
+    under the pipeline order, then the global top-k window under the same
+    order. The attribute joins by doc_id on the kernel's candidate output.
+    Output adds the deduped attribute as `value`."""
+    stats = _ranked_stats(spark, index, queries, max_edits)
+    attrs = docs.select(
+        "doc_id", F.col(distinct_attr).cast("string").alias("value")
+    )
+    wv = Window.partitionBy("query_id", "value").orderBy(*_default_order_cols())
+    w = Window.partitionBy("query_id").orderBy(*_default_order_cols())
+    return (
+        stats.join(attrs, "doc_id")
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select(*_RANKED_OUT_COLS, "value")
+    )
+
+
+_SQL_DEFAULT_ORDER = (
+    "words DESC, typos ASC, proximity ASC, attribute ASC, exactness DESC, "
+    "score DESC, doc_id ASC"
+)
+
+
+def sql_ranked_filtered_topk(
+    queries: list[tuple[int, str]] | None = None,
+    filter_sql: str = "true",
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    docs_table: str = "documents",
+) -> str:
+    inner = sql_ranked_topk(queries, k=10**9, max_edits=max_edits,
+                            title_tokens=title_tokens)
+    cols = ", ".join(f"c.{c}" for c in _RANKED_OUT_COLS)
+    qorder = ", ".join(f"c.{t}" for t in _SQL_DEFAULT_ORDER.split(", "))
+    return f"""
+WITH ranked_all AS ({inner}),
+allowed AS (SELECT doc_id FROM {docs_table} WHERE {filter_sql})
+SELECT {", ".join(_RANKED_OUT_COLS)} FROM (
+  SELECT {cols}, row_number() OVER (PARTITION BY c.query_id
+    ORDER BY {qorder}) AS rn
+  FROM ranked_all c JOIN allowed a ON a.doc_id = c.doc_id
+) WHERE rn <= {k}
+"""
+
+
+def sql_ranked_distinct_topk(
+    queries: list[tuple[int, str]] | None = None,
+    distinct_attr: str = "lang",
+    k: int = 10,
+    max_edits: int = 1,
+    title_tokens: int = 5,
+    docs_table: str = "documents",
+) -> str:
+    inner = sql_ranked_topk(queries, k=10**9, max_edits=max_edits,
+                            title_tokens=title_tokens)
+    cols = ", ".join(f"c.{c}" for c in _RANKED_OUT_COLS)
+    qorder = ", ".join(f"c.{t}" for t in _SQL_DEFAULT_ORDER.split(", "))
+    return f"""
+WITH ranked_all AS ({inner}),
+dedup AS (
+  SELECT {cols}, CAST(d.{distinct_attr} AS VARCHAR) AS value,
+         row_number() OVER (
+           PARTITION BY c.query_id, CAST(d.{distinct_attr} AS VARCHAR)
+           ORDER BY {qorder}) AS vr
+  FROM ranked_all c JOIN {docs_table} d ON d.doc_id = c.doc_id
+)
+SELECT {", ".join(_RANKED_OUT_COLS)}, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY {_SQL_DEFAULT_ORDER}) AS rn
+  FROM dedup WHERE vr = 1
+) WHERE rn <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # custom ranking-rule order — the Meilisearch `rankingRules` setting
 # ---------------------------------------------------------------------------

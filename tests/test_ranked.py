@@ -610,3 +610,61 @@ def test_score_threshold_backfills_from_full_match_set(spark, fielded_index):
                                    -r.exactness, -r.score, r.doc_id))
         assert [r.doc_id for r in gq] == exp, qid
         assert all(r.ranking_score >= thr for r in gq)
+
+
+def _default_key(r):
+    return (-r.words, r.typos, r.proximity, r.attribute, -r.exactness,
+            -r.score, r.doc_id)
+
+
+def test_ranked_filtered_composes(spark, fielded_index):
+    """filter + full pipeline == python-filtering the full ranked stats then
+    re-ranking under the default order (page backfills)."""
+    from grenad_spark.query.ranked import search_topk_ranked, search_topk_ranked_filtered
+
+    idx, rows = fielded_index
+    queries = [(1, "alpha beta"), (2, "gama delta")]
+    full = search_topk_ranked(spark, idx, queries, k=10**6).collect()
+    nt = {d: len(t) + len(b) for d, t, b in rows}
+    docs = spark.createDataFrame(
+        [(d, nt[d]) for d, _, _ in rows], "doc_id long, nt long"
+    )
+    k = 6
+    got = search_topk_ranked_filtered(
+        spark, idx, docs, queries, "nt >= 12", k=k
+    ).collect()
+    for qid in (1, 2):
+        keep = sorted(
+            (r for r in full if r.query_id == qid and nt[r.doc_id] >= 12),
+            key=_default_key,
+        )
+        exp = [r.doc_id for r in keep[:k]]
+        gq = [r.doc_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=_default_key)]
+        assert gq == exp, qid
+        assert all(nt[d] >= 12 for d in gq)
+
+
+def test_ranked_distinct_composes(spark, fielded_index):
+    """distinct + full pipeline == rank-1 per (query, value) under the
+    default order, then global top-k under the same order."""
+    from grenad_spark.query.ranked import search_topk_ranked, search_topk_ranked_distinct
+
+    idx, rows = fielded_index
+    queries = [(1, "alpha beta"), (2, "gama delta")]
+    full = search_topk_ranked(spark, idx, queries, k=10**6).collect()
+    grp = {d: str(d % 4) for d, _, _ in rows}
+    docs = spark.createDataFrame(
+        [(d, grp[d]) for d, _, _ in rows], "doc_id long, grp string"
+    )
+    k = 3
+    got = search_topk_ranked_distinct(spark, idx, docs, queries, "grp", k=k).collect()
+    for qid in (1, 2):
+        best: dict[str, object] = {}
+        for r in sorted((r for r in full if r.query_id == qid), key=_default_key):
+            best.setdefault(grp[r.doc_id], r)
+        exp = [r.doc_id for r in sorted(best.values(), key=_default_key)[:k]]
+        gq = sorted((r for r in got if r.query_id == qid), key=_default_key)
+        assert [r.doc_id for r in gq] == exp, qid
+        assert all(r.value == grp[r.doc_id] for r in gq)
+        assert len({r.value for r in gq}) == len(gq)  # one hit per value
