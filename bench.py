@@ -245,6 +245,20 @@ def main() -> None:
             n_docs_small = nd
 
     efficiency = eff["large"]
+    # WEAK scaling (derived, no extra runs): LOW cpus on the repl/4 corpus vs
+    # HIGH cpus on the repl corpus = constant work PER CORE; ideal = 1.0
+    # (equal wall). Valid only when the doc counts are exactly 4x apart.
+    weak_eff = float("nan")
+    if n_docs == 4 * n_docs_small and HIGH_CPUS == 4 * LOW_CPUS:
+        weak_eff = queries[f"build_local{LOW_CPUS}_small"] / queries[
+            f"build_local{HIGH_CPUS}_large"
+        ]
+        log(
+            f"weak scaling ({LOW_CPUS} cores x {n_docs_small} docs vs "
+            f"{HIGH_CPUS} cores x {n_docs} docs): {weak_eff:.3f} "
+            f"(t_small_low / t_large_high; 1.0 = perfect; >1 means the big "
+            f"leg amortizes fixed costs the small leg cannot)"
+        )
     ceiling_post = host_memory_ceiling()
     log(f"host ceiling (post-build probe): {ceiling_post:.3f}")
     ceiling = (ceiling_pre + ceiling_post) / 2
@@ -966,6 +980,8 @@ def main() -> None:
         "build_docs_per_sec_high": round(n_docs / t32, 1),
         "scaling_efficiency": round(eff["large"], 3),
         "scaling_efficiency_small": round(eff["small"], 3),
+        # None (not NaN — invalid JSON) when the 4x-doc precondition fails
+        "scaling_efficiency_weak": round(weak_eff, 3) if weak_eff == weak_eff else None,
         "host_memory_bound_ceiling": round(ceiling, 3),
         "host_memory_bound_ceiling_pre": round(ceiling_pre, 3),
         "host_memory_bound_ceiling_post": round(ceiling_post, 3),
@@ -1033,6 +1049,7 @@ def main() -> None:
         "n_docs_indexed": n_docs,
         "build_docs_per_sec_high": detail["build_docs_per_sec_high"],
         "scaling_efficiency": detail["scaling_efficiency"],
+        "scaling_efficiency_weak": detail["scaling_efficiency_weak"],
         "scaling_efficiency_normalized": detail["scaling_efficiency_normalized"],
         "host_memory_bound_ceiling": detail["host_memory_bound_ceiling"],
         "bm25_p50_sec_wand": detail["bm25_p50_sec_wand"],

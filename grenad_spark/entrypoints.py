@@ -1368,6 +1368,51 @@ def q_bm25_proximity_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_proximity_db(spark, idx, bm25.PROX_DB_QUERIES, k=10)
 
 
+# as-you-type proximity: the last query word is a PREFIX; mix of
+# materialized (word, prefix) keys ("so" covers sort+slow, "s" covers 6
+# words) and expansion fallbacks ("jo" -> join only, below min_terms)
+_PROX_PREFIX_QUERIES = [
+    (1, "merge so*"),
+    (2, "hash jo*"),
+    (3, "the fast ta*"),
+    (4, "s*"),
+    (5, "value st*"),
+]
+
+from grenad_spark.index.pairprox import (  # noqa: E402
+    sql_proximity_db_prefix_topk as _sql_prox_db_prefix,
+)
+
+
+@register(
+    "bm25_topk_proximity_prefix", _sql_prox_db_prefix(_PROX_PREFIX_QUERIES)
+)
+def q_bm25_proximity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-word-prefix proximity page served from the materialized
+    word_prefix_pair_proximity DB (Meilisearch's as-you-type tables):
+    conjunctive full terms + any-prefix-word match, proximity = full-pair
+    slots + the (last word, prefix) slot, score = full BM25 + prefix-as-
+    one-word part. Unmaterialized prefixes fall back to min-over-expansion
+    of the full-word pair DB (identical by distributivity of min)."""
+    from grenad_spark.index.pairprox import (
+        build_pair_proximity,
+        build_prefix_pair_proximity,
+        search_topk_proximity_db_prefix,
+    )
+    from grenad_spark.index.prefix import build_prefix_postings
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_pair_proximity():
+        build_pair_proximity(spark, _docs(spark, sf_dir), idx.path)
+    if not idx.has_prefix_postings():
+        build_prefix_postings(spark, _docs(spark, sf_dir), idx.path)
+    if not idx.has_prefix_pair_proximity():
+        build_prefix_pair_proximity(spark, _docs(spark, sf_dir), idx.path)
+    return search_topk_proximity_db_prefix(
+        spark, idx, _PROX_PREFIX_QUERIES, k=10
+    )
+
+
 @register("bm25_topk_phrase_snippets", _sql_phrase_snippets())
 def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase top-k with a cropped snippet around the first occurrence
@@ -2136,6 +2181,129 @@ def q_bm25_phrase_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 session-4: Meilisearch filter DSL, word derivations (split/ngram),
+# crop formatting, and the /similar endpoint
+# ---------------------------------------------------------------------------
+
+from grenad_spark.query import derivations as _deriv  # noqa: E402
+from grenad_spark.query.filter_expr import parse_filter as _parse_filter  # noqa: E402
+
+# One compiled artifact: the Meilisearch filter STRING below parses to ANSI
+# SQL that Spark executes via F.expr AND DuckDB runs verbatim in the oracle
+# — the parser itself is what this query gates.
+_FILTER_EXPR_STR = (
+    "(lang = en OR lang IN ['fr', 'de']) AND n_chars 150 TO 520 "
+    "AND source NOT IN [src2] AND text IS NOT EMPTY AND lang EXISTS"
+)
+
+
+@register(
+    "bm25_topk_filter_expr",
+    bm25.bm25_filtered_oracle_sql(
+        bm25.REFERENCE_QUERIES, _parse_filter(_FILTER_EXPR_STR)
+    ),
+)
+def q_bm25_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch `filter` parameter as a STRING in its own grammar
+    (comparisons, TO ranges, IN lists, EXISTS/IS EMPTY, AND/OR/NOT),
+    compiled by query/filter_expr.py to one SQL predicate both engines run
+    — the filterable-attributes serving path (gated bm25_topk_filtered)
+    with the real public API surface in front."""
+    from grenad_spark.query.search import search_topk_filtered
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_filtered(
+        spark, idx, _docs(spark, sf_dir), bm25.REFERENCE_QUERIES,
+        _parse_filter(_FILTER_EXPR_STR), k=10,
+    )
+
+
+# split-word derivation: OOV compounds match their in-vocabulary halves
+# ADJACENTLY ("mergesort" ~ "merge sort") — milli's split_best_frequency
+_SPLIT_QUERIES = [
+    (1, "mergesort"),
+    (2, "hashjoin table"),
+    (3, "bigdata stream"),
+    (4, "sparkwindow"),
+    (5, "valuestream dup"),
+]
+
+
+@register("bm25_topk_word_splits", _deriv.sql_word_splits_topk(_SPLIT_QUERIES))
+def q_bm25_word_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-word derivation: the word-part exhaustive scorer plus one
+    phrase-kernel pass over each derived (a, b) chain's position blocks,
+    summed per (query, doc) — a doc reachable ONLY through the split still
+    ranks (all five queries here lead with an OOV compound)."""
+    from grenad_spark.index.positions import build_positions
+
+    idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
+    return _deriv.search_topk_word_splits(spark, idx, _SPLIT_QUERIES, k=10)
+
+
+# ngram-concat derivation: adjacent query words also try their concatenation
+# ("val ue" ~ "value") — milli's create_query_tree ngrams (cap 3)
+_CONCAT_QUERIES = [
+    (1, "val ue stream"),
+    (2, "mer ge sort"),
+    (3, "da ta table"),
+    (4, "spark win dow"),
+    (5, "cust omer order"),
+]
+
+
+@register("bm25_topk_ngram_concat", _deriv.sql_ngram_concat_topk(_CONCAT_QUERIES))
+def q_bm25_ngram_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ngram-concat derivation: pure driver-side candidate rewrite feeding
+    the standard disjunct kernel (the synonyms shape); OOV concatenations
+    die in the pruned In(term) scan on both engines identically."""
+    idx = build_or_get_index(spark, sf_dir)
+    return _deriv.search_topk_ngram_concat(spark, idx, _CONCAT_QUERIES, k=10)
+
+
+# crop: attributesToCrop/cropLength/cropMarker over the plain BM25 page
+_CROP_QUERIES = [(1, "spark window"), (2, "merge sort"), (3, "customer value")]
+
+from grenad_spark.query.search import sql_crop_topk as _sql_crop  # noqa: E402
+
+
+@register("bm25_topk_crop", _sql_crop(_CROP_QUERIES, crop_length=8))
+def q_bm25_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cropLength-token window centered on the first matched term, with
+    cropMarker on trimmed ends — k·|queries|-row post-processing over the
+    gated BM25 page (same shape as highlight)."""
+    from grenad_spark.query.search import search_topk_crop
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_crop(
+        spark, idx, _docs(spark, sf_dir), _CROP_QUERIES, k=10, crop_length=8
+    )
+
+
+# /similar endpoint: nearest other documents by embedding cosine, with a
+# Meilisearch filter string over candidate attributes
+_SIMILAR_TARGETS = [3, 17, 42]
+_SIMILAR_FILTER = "label IN [0, 1, 2, 3, 4, 5, 6] AND vec_id != 7"
+
+
+@register(
+    "similar_docs",
+    ann.sql_similar_documents(_SIMILAR_TARGETS, 10, _SIMILAR_FILTER),
+)
+def q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch /similar: per target id, the 10 nearest other vectors by
+    cosine, candidates restricted by a filter-DSL string (compiled once,
+    run by both engines)."""
+    from grenad_spark.corpus import load_embeddings
+
+    return ann.similar_documents(
+        load_embeddings(spark, sf_dir), _SIMILAR_TARGETS, 10, _SIMILAR_FILTER
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver hash-gates a PREFIX of the registry (the
 # first 50 queries), so insertion order decides which queries get hard
 # CORRECTNESS rows each round.
@@ -2183,7 +2351,10 @@ _DRIVER_GATE_ORDER = [
     # the dictionary-expansion path stays gated through
     # bm25_topk_prefix_db's unmaterialized-prefix fallback leg — for the
     # bm25_topk_page debut)
-    "bm25_topk_wand_pruned", "bm25_topk_shared_pruned",
+    # (bm25_topk_wand_pruned demoted session-4 after 2 driver-green rounds —
+    # shared_pruned gates the SAME two-pass cross-term-θ pruner through its
+    # batched superset — for the bm25_topk_filter_expr debut)
+    "bm25_topk_shared_pruned",
     # (bm25_topk_and demoted mid-round-5 — conjunctive_matches also feeds
     # the gated bm25_topk_geo_sort — for the matching_frequency debut)
     # (bm25_topk_phrase demoted mid-round-5 — phrase_shared passes the
@@ -2250,9 +2421,15 @@ _DRIVER_GATE_ORDER = [
     # session-3 debuts after 2+ driver-green rounds: the banded candidate
     # generation they share stays gated through dedup_minhash_clusters and
     # ann_ivf_kmeans, and the curation composition is glue over gated parts)
-    "dedup_minhash_clusters",
-    # ANN (kmeans covers assignment+Lloyd and the centroid argmax)
-    "ann_ivf_kmeans_topk",
+    # (dedup_minhash_clusters + ann_ivf_kmeans_topk demoted session-4 after
+    # 2+ driver-green rounds — the banding/assignment kernels stay
+    # judge-checked in overflow — for the word_splits + similar_docs debuts)
+    # round-5 session-4 debuts: the Meilisearch filter-DSL parser (a NEW
+    # compile path in front of the gated filtered semi-join), split-word
+    # derivation (exhaustive word part + per-split phrase chains summed —
+    # a new kernel composition), and the /similar endpoint (cosine ranking
+    # over a filter-DSL-restricted candidate set)
+    "bm25_topk_filter_expr", "bm25_topk_word_splits", "similar_docs",
 ]
 
 _OVERFLOW_ORDER = [
@@ -2270,6 +2447,19 @@ _OVERFLOW_ORDER = [
     # (bm25_topk_filtered), the per-value dedup window is gated
     # (bm25_topk_distinct_attr) — the debut here is their composition
     "bm25_topk_ranked_filtered", "bm25_topk_ranked_distinct",
+    # session-4 debut bm25_topk_proximity_prefix: the gate window is full
+    # and no remaining entry has the 2 driver-green rounds the rotation
+    # policy demands for demotion — it debuts in overflow (judge-run
+    # checked) and is FIRST in line for promotion next round
+    "bm25_topk_proximity_prefix",
+    # session-4 kernel-riding debuts (documented exception: ngram_concat is
+    # a driver-side candidate rewrite feeding the gated disjunct kernel —
+    # the synonyms shape; crop is k·|queries|-row post-processing over the
+    # gated BM25 page — the highlight shape)
+    "bm25_topk_ngram_concat", "bm25_topk_crop",
+    # session-4 demotions (2+ driver-green rounds; wand_pruned's θ pruner
+    # stays gated via shared_pruned) — first in line for re-promotion
+    "bm25_topk_wand_pruned", "dedup_minhash_clusters", "ann_ivf_kmeans_topk",
     # session-3 demotions (2+ driver-green rounds, paths covered by gated
     # supersets — see the gate-list notes) — first in line for re-promotion
     "term_dict", "dedup_ngram_jaccard", "dedup_embedding_cosine",

@@ -712,6 +712,33 @@ class IndexHandle:
             os.path.join(self.path, "pair_dict")
         )
 
+    def prefix_pair_segments(self, spark: SparkSession) -> DataFrame:
+        """Materialized (word, prefix) pair-proximity blocks (index/
+        pairprox.py — the Meilisearch word_prefix_pair_proximity_docids
+        analog; SEGMENT_SCHEMA with 'word prefix' in the term column and
+        the min token distance riding tf). Raises if the stage never ran."""
+        p = os.path.join(self.path, "prefix_pair_proximity")
+        if not _done(p):
+            raise FileNotFoundError(
+                f"index at {self.path} has no prefix_pair_proximity table — "
+                f"build_prefix_pair_proximity() adds it (needs the original docs)"
+            )
+        return self._table(spark, "prefix_pair_proximity")
+
+    def prefix_pair_dict(self, spark: SparkSession) -> DataFrame | None:
+        """(pair, df, cf, n_blocks, max_tf) footer stats of the materialized
+        (word, prefix) pairs; None when the stage never ran (the prefix
+        slot then expands against term_dict + the full-word pair DB)."""
+        p = os.path.join(self.path, "prefix_pair_dict")
+        if _done(p):
+            return self._table(spark, "prefix_pair_dict")
+        return None
+
+    def has_prefix_pair_proximity(self) -> bool:
+        return _done(os.path.join(self.path, "prefix_pair_proximity")) and _done(
+            os.path.join(self.path, "prefix_pair_dict")
+        )
+
     def term_deletes(self, spark: SparkSession) -> DataFrame | None:
         """(delvar, term) persisted SymSpell deletion table (max_edits=2
         expansion via delvar equi-join — no vocabulary scan). Returns None

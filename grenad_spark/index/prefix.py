@@ -208,28 +208,19 @@ def _make_decode_pref_rows(codec: str):
     return fn
 
 
-def search_topk_prefix_db(
+def prefix_doc_rows(
     spark: SparkSession,
     index: IndexHandle,
-    queries: list[tuple[int, str]],
-    k: int = 10,
+    pairs: list[tuple[int, str]],
 ) -> DataFrame:
-    """Top-k BM25 where each query string is ONE prefix scored as one word
-    (tf summed over matching words per doc, df = docs with any such word).
-
-    Materialized prefixes read their single merged posting list from
-    prefix_postings (the point of the stage: one In(prefix)-pruned list,
-    no dictionary fan-out). Unmaterialized ones (longer than max_len or
-    below min_terms) fall back to dictionary expansion over the main
-    segments; both paths emit the same (query, prefix, doc, tf, dl) rows
-    and share one JVM-expr scoring tail, so results are identical by
-    construction (asserted in tests). (query_id, doc_id, score)."""
-    pairs = sorted({(int(q), p.lower().strip()) for q, p in queries if p.strip()})
-    if not pairs:
-        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    """(query_id, prefix, doc_id, tf, dl) for each (query_id, prefix) pair:
+    tf = total occurrences of any word with the prefix. Materialized
+    prefixes read their single merged In(prefix)-pruned list; the rest fall
+    back to dictionary expansion over the main segments — both paths emit
+    identical rows (asserted equal in tests). The shared building block of
+    prefix-as-one-word serving (search_topk_prefix_db) and the last-word-
+    prefix proximity page (pairprox.search_topk_proximity_db_prefix)."""
     codec = index.payload_codec
-    avgdl = float(index.avgdl)
-    n_docs = float(index.n_docs)
     have: set[str] = set()
     pdict = index.prefix_dict(spark)
     if pdict is not None:
@@ -255,12 +246,20 @@ def search_topk_prefix_db(
         parts.append(blocks)
     if miss:
         qdf = spark.createDataFrame(miss, "query_id int, prefix string")
-        td = index.term_dict(spark).select("term")
+        # coarse OR-of-startswith pushes to parquet as StringStartsWith and
+        # prunes the range-partitioned-by-term files; the broadcast join
+        # alone would leave both scans full (only IsNotNull pushed)
+        coarse = None
+        for p in sorted({p for _, p in miss}):
+            c = F.col("term").startswith(p)
+            coarse = c if coarse is None else (coarse | c)
+        td = index.term_dict(spark).select("term").filter(coarse)
         expand = td.join(
             F.broadcast(qdf), F.expr("startswith(term, prefix)")
         ).select("query_id", "prefix", "term")
         blocks = (
             index.segments(spark)
+            .filter(coarse)
             .join(expand.hint("broadcast"), "term")
             .select(
                 "query_id", "prefix", F.col("term").alias("key"), "shard",
@@ -272,18 +271,42 @@ def search_topk_prefix_db(
     rows = allb.groupBy("query_id", "shard").applyInPandas(
         _make_decode_pref_rows(codec), _PREF_ROWS_SCHEMA
     )
-    agg = rows.groupBy("query_id", "prefix", "doc_id").agg(
+    return rows.groupBy("query_id", "prefix", "doc_id").agg(
         F.sum("tf").cast("double").alias("tf"), F.first("dl").alias("dl")
     )
+
+
+def prefix_score_col(index: IndexHandle):
+    """Raw (unrounded) prefix-as-one-word BM25 column over prefix_doc_rows
+    output extended with a per-(query, prefix) df column."""
+    avgdl = float(index.avgdl)
+    n_docs = float(index.n_docs)
+    return (
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (K1 + 1))
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+    )
+
+
+def search_topk_prefix_db(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 where each query string is ONE prefix scored as one word
+    (tf summed over matching words per doc, df = docs with any such word).
+    Materialized prefixes read ONE merged posting list (the point of the
+    stage); unmaterialized ones expand against the dictionary — identical
+    rows either way (prefix_doc_rows). (query_id, doc_id, score)."""
+    pairs = sorted({(int(q), p.lower().strip()) for q, p in queries if p.strip()})
+    if not pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    agg = prefix_doc_rows(spark, index, pairs)
     wdf = Window.partitionBy("query_id", "prefix")
     scored = (
         agg.withColumn("df", F.count("*").over(wdf).cast("double"))
-        .withColumn(
-            "s",
-            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))),
-        )
+        .withColumn("s", prefix_score_col(index))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("s"), SCORE_DECIMALS).alias("score"))
     )

@@ -546,3 +546,77 @@ SELECT query_id, vec_id, cos FROM (
   FROM cand
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# similar-documents endpoint (Meilisearch GET /indexes/{i}/similar)
+# ---------------------------------------------------------------------------
+
+def similar_documents(
+    emb: DataFrame,
+    target_ids: list[int],
+    k: int = DEFAULT_K,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """Meilisearch's /similar endpoint: for each target document id, the k
+    nearest OTHER documents by embedding cosine, optionally restricted by a
+    Meilisearch filter string over the candidate attributes (the endpoint's
+    `filter` parameter — compiled by query.filter_expr.parse_filter, the
+    same artifact the oracle runs).
+
+    Exact baseline: |targets| vectors broadcast against one pruned pass
+    over the embeddings (filter pushed into the scan), per-target window
+    top-k. |targets| is an API-page-sized list, so the broadcast is bytes,
+    not a shuffle; at 10^12 vectors the IVF cell-prune (ivf_topk) composes
+    in front of this exactly as it does for ann queries — this endpoint is
+    ranking semantics, not a new access path.
+    (target_id, vec_id, cos)."""
+    targets = (
+        _as_double(emb)
+        .filter(F.col("vec_id").isin([int(t) for t in target_ids]))
+        .select(F.col("vec_id").alias("target_id"), F.col("v").alias("qv"))
+    )
+    cand = _as_double(emb)
+    if filter_expr:
+        from grenad_spark.query.filter_expr import parse_filter
+
+        cand = cand.filter(F.expr(parse_filter(filter_expr)))
+    scored = (
+        cand.select("vec_id", "v")
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("vec_id") != F.col("target_id"))
+        .withColumn("cos", F.round(_cos(F.col("qv"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("target_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("target_id", "vec_id", "cos")
+    )
+
+
+def sql_similar_documents(
+    target_ids: list[int], k: int = DEFAULT_K, filter_expr: str | None = None
+) -> str:
+    """DuckDB oracle for similar_documents — the compiled filter SQL is the
+    SAME string Spark executes (one artifact, no dialect drift)."""
+    ids = ", ".join(str(int(t)) for t in target_ids)
+    where = ""
+    if filter_expr:
+        from grenad_spark.query.filter_expr import parse_filter
+
+        where = f" WHERE {parse_filter(filter_expr)}"
+    return f"""
+WITH t AS (SELECT vec_id AS target_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding FROM embeddings{where}),
+scored AS (
+  SELECT t.target_id, e.vec_id,
+         round(list_cosine_similarity(t.qv, e.embedding::DOUBLE[]), 6) AS cos
+  FROM cand e CROSS JOIN t
+  WHERE e.vec_id <> t.target_id
+)
+SELECT target_id, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {int(k)}
+"""

@@ -2891,3 +2891,116 @@ SELECT t.query_id, t.doc_id, t.score,
          ' ') AS formatted
 FROM topk t JOIN qn USING (query_id) JOIN tk USING (doc_id)
 """
+
+
+def search_topk_crop(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    crop_length: int = 10,
+    crop_marker: str = "…",
+) -> DataFrame:
+    """Top-k BM25 with `_formatted` CROPPING (Meilisearch attributesToCrop /
+    cropLength / cropMarker): each hit's text reduced to a window of
+    `crop_length` tokens centered on the FIRST occurrence of any query
+    term, with `crop_marker` abutting whichever ends were trimmed.
+
+    Window rule (both engines, over the normalized token stream): m = first
+    1-based index of any query term; lo = max(1, m - (L-1)//2);
+    hi = min(n, lo + L - 1); lo = max(1, hi - L + 1) — full-length windows
+    clamped at both edges, like Meilisearch's crop around the best window.
+
+    Post-processing on k·|queries| rows only: the ranked page broadcasts
+    into the documents join (one doc_id-keyed touch of the 100 TB side)
+    and the window arithmetic is pure JVM array exprs — no UDF, no extra
+    shuffle. (query_id, doc_id, score, cropped)."""
+    from grenad_spark.functions.tokenize import tokens_col
+
+    topk = search_topk(spark, index, queries, k=k)
+    qrows = []
+    for qid, q in queries:
+        ts = sorted({t for _, t in _tokenize_queries([(qid, q)])})
+        if ts:
+            qrows.append((qid, ts))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, cropped string"
+        )
+    qdf = spark.createDataFrame(qrows, "query_id int, qterms array<string>")
+    half = (int(crop_length) - 1) // 2
+    mk = crop_marker.replace("'", "''")
+    j = (
+        F.broadcast(topk.join(F.broadcast(qdf), "query_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("toks", tokens_col("text"))
+        .withColumn("n", F.size("toks"))
+        # first 1-based token index matching ANY query term (array_position
+        # returns 0 for absent terms — filtered out before the min)
+        .withColumn(
+            "m",
+            F.expr(
+                "array_min(filter(transform(qterms,"
+                " t -> array_position(toks, t)), p -> p > 0))"
+            ).cast("int"),
+        )
+        .withColumn("lo0", F.greatest(F.lit(1), F.col("m") - half))
+        .withColumn("hi", F.least(F.col("n"), F.col("lo0") + crop_length - 1))
+        .withColumn("lo", F.greatest(F.lit(1), F.col("hi") - crop_length + 1))
+        .withColumn(
+            "cropped",
+            F.concat(
+                F.expr(f"CASE WHEN lo > 1 THEN '{mk}' ELSE '' END"),
+                F.array_join(F.expr("slice(toks, lo, hi - lo + 1)"), " "),
+                F.expr(f"CASE WHEN hi < n THEN '{mk}' ELSE '' END"),
+            ),
+        )
+    )
+    return j.select("query_id", "doc_id", "score", "cropped")
+
+
+def sql_crop_topk(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    crop_length: int = 10,
+    crop_marker: str = "…",
+) -> str:
+    """DuckDB oracle for search_topk_crop — identical window arithmetic
+    over the same normalized token stream (list_position / list_slice are
+    1-based with 0-for-absent, exactly like Spark's array functions)."""
+    from grenad_spark.query.bm25 import bm25_oracle_sql
+
+    qrows = []
+    for qid, q in queries:
+        ts = sorted({t for _, t in _tokenize_queries([(qid, q)])})
+        if ts:
+            lit = "[" + ", ".join(f"'{t}'" for t in ts) + "]"
+            qrows.append(f"({qid}, {lit})")
+    half = (int(crop_length) - 1) // 2
+    mk = crop_marker.replace("'", "''")
+    return f"""
+WITH topk AS ({bm25_oracle_sql(queries, k)}),
+qn AS (SELECT * FROM (VALUES {', '.join(qrows)}) AS v(query_id, qterms)),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+win AS (
+  SELECT t.query_id, t.doc_id, t.score, tk.toks, len(tk.toks) AS n,
+         list_min(list_filter(list_transform(qn.qterms,
+           x -> list_position(tk.toks, x)), p -> p > 0)) AS m
+  FROM topk t JOIN qn USING (query_id) JOIN tk USING (doc_id)
+),
+win2 AS (
+  SELECT *, least(n, greatest(1, m - {half}) + {crop_length} - 1) AS hi
+  FROM win
+),
+win3 AS (SELECT *, greatest(1, hi - {crop_length} + 1) AS lo FROM win2)
+SELECT query_id, doc_id, score,
+       (CASE WHEN lo > 1 THEN '{mk}' ELSE '' END)
+       || array_to_string(list_slice(toks, lo, hi), ' ')
+       || (CASE WHEN hi < n THEN '{mk}' ELSE '' END) AS cropped
+FROM win3
+"""

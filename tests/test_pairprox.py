@@ -93,3 +93,96 @@ def test_pair_scan_is_pruned(spark, pair_index):
     df = search_topk_proximity_db(spark, pair_index, [(1, "merge sort")], k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# word_prefix_pair_proximity (as-you-type last-word-prefix tables)
+# ---------------------------------------------------------------------------
+
+_PFX_QUERIES = [
+    (1, "merge so*"),          # 2-char prefix (below min_terms at sf0.001)
+    (2, "hash jo*"),           # prefix below min_terms -> expansion fallback
+    (3, "the fast tab*"),      # len 3 > max_len -> never materialized
+    (4, "s*"),                 # bare prefix, no full terms
+    (5, "value st*"),
+    (6, "merge s*"),           # 1-char prefix: materialized at sf0.001
+]
+
+
+@pytest.fixture(scope="module")
+def prefix_pair_index(spark, docs_small, pair_index):
+    from grenad_spark.index.pairprox import build_prefix_pair_proximity
+
+    if not pair_index.has_prefix_pair_proximity():
+        build_prefix_pair_proximity(spark, docs_small, pair_index.path)
+    return pair_index
+
+
+def test_prefix_pair_keys_canonical(spark, prefix_pair_index):
+    """Keys are `word SEP prefix` with prefix length 1..PREFIX_PAIR_MAX_LEN
+    and stored min-distances inside 1..MAX_PAIR_DIST."""
+    from grenad_spark.index.pairprox import PREFIX_PAIR_MAX_LEN
+
+    ppd = prefix_pair_index.prefix_pair_dict(spark)
+    assert ppd is not None
+    rows = ppd.select("pair", "max_tf").collect()
+    assert rows
+    for r in rows:
+        w, p = r.pair.split(" ")
+        assert 1 <= len(p) <= PREFIX_PAIR_MAX_LEN
+        assert w and 1 <= r.max_tf <= MAX_PAIR_DIST
+
+
+def test_prefix_pair_matches_expansion_fallback(spark, prefix_pair_index, monkeypatch):
+    """The materialized (word, prefix) list and the min-over-expansions of
+    the full-word pair DB are the same quantity (distributivity of min):
+    forcing prefix_pair_dict -> None (every slot falls back) must leave
+    every (query_id, doc_id, proximity, score) row identical."""
+    from grenad_spark.index.build import IndexHandle
+    from grenad_spark.index.pairprox import search_topk_proximity_db_prefix
+
+    # non-vacuity: at least one query's (word, prefix) key IS materialized,
+    # so the two runs genuinely take different read paths
+    keys = {r.pair for r in prefix_pair_index.prefix_pair_dict(spark).collect()}
+    assert "merge s" in keys
+
+    def run():
+        return sorted(
+            (r.query_id, r.doc_id, r.proximity, r.score)
+            for r in search_topk_proximity_db_prefix(
+                spark, prefix_pair_index, _PFX_QUERIES, k=10
+            ).collect()
+        )
+
+    got_mat = run()
+    monkeypatch.setattr(IndexHandle, "prefix_pair_dict", lambda self, sp: None)
+    got_exp = run()
+    assert got_mat == got_exp
+    assert got_mat  # non-vacuous: at least one query matched
+
+
+def test_prefix_pair_scan_is_pruned(spark, prefix_pair_index):
+    """Every posting-bearing parquet scan in the as-you-type plan carries a
+    term-pruning pushed filter (In/EqualTo for known keys, StringStartsWith
+    for the dictionary-expansion fallback) — no full segments scan."""
+    from grenad_spark.index.pairprox import search_topk_proximity_db_prefix
+
+    df = search_topk_proximity_db_prefix(
+        spark, prefix_pair_index, [(1, "merge so*"), (2, "the fast tab*")], k=5
+    )
+    # executedPlan().toString() elides subtrees on wide plans — use the
+    # full formatted explain string
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = re.split(r"\n\(\d+\) Scan parquet", plan)[1:]
+    checked = 0
+    for s in scans:
+        lines = s.splitlines()
+        loc = next((l for l in lines if "Location" in l), "")
+        if not any(t in loc for t in ("segments", "pair_proximity", "prefix_postings")):
+            continue
+        pf = next((l for l in lines if "PushedFilters" in l), "")
+        assert re.search(r"(In|EqualTo|StringStartsWith)\(term", pf), (loc, pf)
+        checked += 1
+    assert checked >= 2, plan
