@@ -1189,6 +1189,33 @@ def q_bm25_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_topk_negative(spark, idx, _NEG_QUERIES, k=10)
 
 
+# negative PHRASES (Meilisearch v1.8 `-"..."` syntax) — adjacency-matched
+# exclusion sets composed with word exclusions; OOV phrases exclude nothing
+_NEGP_QUERIES = [
+    (1, 'spark -"merge sort"'),
+    (2, 'data -"the fast" -batch'),   # phrase + word exclusion composed
+    (3, 'join -"zzz missing"'),       # OOV phrase excludes nothing
+    (4, 'stream -"data data"'),       # repeated-term adjacency
+    (5, '-"merge sort"'),             # only negative => no rows
+]
+
+from grenad_spark.query.search import (  # noqa: E402
+    sql_negative_phrases_topk as _sql_negp,
+)
+
+
+@register("bm25_topk_negative_phrase", _sql_negp(_NEGP_QUERIES))
+def q_bm25_negative_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative phrases: disjunctive BM25 over positive terms minus docs
+    containing any `-word` OR matching any `-"..."` phrase adjacently —
+    the phrase exclusions ride ONE batched pruned positions scan
+    (phrase_match_pairs)."""
+    from grenad_spark.query.search import search_topk_negative_phrases
+
+    idx = build_or_get_index(spark, sf_dir)
+    return search_topk_negative_phrases(spark, idx, _NEGP_QUERIES, k=10)
+
+
 @register("bm25_topk_matching_last", _sql_mlast(_MATCH_LAST_QUERIES))
 def q_bm25_matching_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """matchingStrategy=last: docs bucketed by longest matched query-word
@@ -2304,6 +2331,80 @@ def q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 session-4: tokenizer settings (separatorTokens /
+# nonSeparatorTokens / dictionary — Meilisearch v1.4 index settings).
+# The corpus is pure [a-z ], so the query runs over a DERIVED corpus: one
+# replace() chain (identical string in Spark SQL and DuckDB) deterministically
+# injects the punctuation the settings act on. Engine side: a full index
+# REBUILD under the custom tokenizer (settings are build-time in
+# Meilisearch too — changing them reindexes every document).
+# ---------------------------------------------------------------------------
+
+from grenad_spark.functions.toksettings import (  # noqa: E402
+    TokenizerSettings,
+    bm25_custom_tokenizer_oracle_sql,
+)
+
+_TOK_SETTINGS = TokenizerSettings(
+    separator_tokens=("-big-",),       # alnum-bearing: splits THROUGH `-`
+    non_separator_tokens=("-",),       # hyphen joins words: merge-sort
+    dictionary=("c++",),               # survives although + still separates
+)
+# evaluated verbatim by BOTH engines (replace() is literal in each)
+_TOK_CORPUS_EXPR = (
+    "replace(replace(replace(replace(text, "
+    "'merge sort', 'merge-sort'), "
+    "'value stream', 'c++ stream'), "
+    "'small hash', 'small-big-hash'), "
+    "'key order', 'key+order')"
+)
+_TOK_QUERIES = [
+    (1, "merge-sort table"),    # hyphenated term matches only joined docs
+    (2, "c++ stream"),          # dictionary word
+    (3, "merge sort"),          # plain words still match un-rewritten docs
+    (4, "key+order spark"),     # + separates: -> key, order, spark
+    (5, "small-big-hash dup"),  # separator token splits the query too
+]
+
+
+@register(
+    "bm25_topk_tokenizer",
+    bm25_custom_tokenizer_oracle_sql(
+        _TOK_SETTINGS, _TOK_QUERIES, k=10,
+        table=f"(SELECT doc_id, {_TOK_CORPUS_EXPR} AS text FROM documents) tdocs",
+    ),
+)
+def q_bm25_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k under custom tokenizer settings over the derived
+    punctuation-bearing corpus. The index is REBUILT with the settings'
+    tokens_col (both tokenizing stages swapped, manifest tagged); query
+    strings tokenize driver-side with the same compiled pattern, then ride
+    the ordinary pruned WAND path — tokenizer settings change the key
+    stream fed to the Sorter analog, nothing downstream."""
+    from grenad_spark.index.build import CURRENT_FORMAT_VERSION, build_index
+    from grenad_spark.query.search import _search_from_pairs
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    tag = _TOK_SETTINGS.tag()
+    cache_key = f"tok_{tag}_{key}"
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).withColumn("text", F.expr(_TOK_CORPUS_EXPR))
+        _INDEX_CACHE[cache_key] = build_index(
+            spark, docs,
+            f"/tmp/grenad_index_v{CURRENT_FORMAT_VERSION}_tok{tag}{key}",
+            n_shards=4, overwrite=True, tokenizer=_TOK_SETTINGS,
+        )
+    idx = _INDEX_CACHE[cache_key]
+    pairs, seen = [], set()
+    for qid, q in _TOK_QUERIES:
+        for t in _TOK_SETTINGS.py_tokens(q):
+            if (qid, t) not in seen:
+                seen.add((qid, t))
+                pairs.append((qid, t))
+    return _search_from_pairs(spark, idx, pairs, 10, "wand")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver hash-gates a PREFIX of the registry (the
 # first 50 queries), so insertion order decides which queries get hard
 # CORRECTNESS rows each round.
@@ -2452,6 +2553,15 @@ _OVERFLOW_ORDER = [
     # policy demands for demotion — it debuts in overflow (judge-run
     # checked) and is FIRST in line for promotion next round
     "bm25_topk_proximity_prefix",
+    # session-4 debut bm25_topk_tokenizer: same full-window situation as
+    # proximity_prefix — debuts in overflow (judge-run checked), second in
+    # line for promotion next round. A NEW engine path (custom token stream
+    # through both build tokenize stages), not a kernel-riding head
+    "bm25_topk_tokenizer",
+    # session-4 debut bm25_topk_negative_phrase: composition of the gated
+    # negative anti-join shape with the gated phrase kernel (batched via
+    # phrase_match_pairs) — kernel-riding composition, overflow debut
+    "bm25_topk_negative_phrase",
     # session-4 kernel-riding debuts (documented exception: ngram_concat is
     # a driver-side candidate rewrite feeding the gated disjunct kernel —
     # the synonyms shape; crop is k·|queries|-row post-processing over the

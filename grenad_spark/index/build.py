@@ -171,7 +171,7 @@ def _encode_partition_stream(
     )
 
 
-def tokens_with_dl(docs: DataFrame) -> DataFrame:
+def tokens_with_dl(docs: DataFrame, tokens_fn=None) -> DataFrame:
     """(term, doc_id, dl) RAW token stream — one row per token occurrence.
 
     No pre-aggregation: tf is reconstructed as a run length inside the encode
@@ -184,7 +184,8 @@ def tokens_with_dl(docs: DataFrame) -> DataFrame:
     select as the explode would re-evaluate it once per exploded row (a ~50×
     regex blow-up measured at sf0.1×16).
     """
-    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    tk = tokens_fn or tokens_col
+    toks = docs.select("doc_id", tk("text").alias("toks"))
     raw = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
     # Pre-aggregate tf before the placement shuffle: Spark's partial agg
     # collapses duplicates map-side (grenad's merge-on-spill), and the 2.4×
@@ -265,8 +266,13 @@ def build_index(
     payload_codec: str = "none",
     payload_codec_level: int | None = None,
     block_size: int | None = None,
+    tokenizer=None,
 ) -> "IndexHandle":
     """Run the full build; resumable per-stage. docs needs (doc_id, text).
+    tokenizer = optional functions/toksettings.TokenizerSettings: its
+    tokens_col replaces the default tokenizer in BOTH tokenizing stages
+    (doc lengths + segment stream) and its tag is recorded in the manifest
+    so a resume can never silently mix token streams.
     block_size = postings per block (grenad WriterBuilder::block_size analog;
     default BLOCK_SIZE=128). payload_codec_level = grenad
     WriterBuilder::compression_level (src/writer.rs:46-52): honored for
@@ -297,6 +303,7 @@ def build_index(
             partitions=partitions, docs_per_shard=docs_per_shard,
             n_shards=n_shards, overwrite=overwrite, compression=compression,
             payload_codec=payload_codec, block_size=block_size,
+            tokenizer=tokenizer,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -315,7 +322,9 @@ def _build_index_inner(
     compression: str,
     payload_codec: str,
     block_size: int | None = None,
+    tokenizer=None,
 ) -> "IndexHandle":
+    tokens_fn = tokenizer.tokens_col if tokenizer is not None else None
     if overwrite and os.path.exists(out_dir):
         import shutil
 
@@ -363,7 +372,7 @@ def _build_index_inner(
         # no repartition: writing with the scan's partitioning keeps the
         # tokenize AND the write parallel (an exchange to few partitions made
         # this stage serialize on 8 writer tasks)
-        doc_lengths(docs).write.mode("overwrite").parquet(docs_path)
+        doc_lengths(docs, tokens_fn=tokens_fn).write.mode("overwrite").parquet(docs_path)
         stage_secs["docs"] = time.time() - ts
 
     # stage 2: corpus stats — trivial agg over the docs table (no re-tokenize)
@@ -396,7 +405,7 @@ def _build_index_inner(
     if not _done(seg_path):
         ts = time.time()
         segments = build_segments(
-            tokens_with_dl(docs), doc_space, n_shards, partitions,
+            tokens_with_dl(docs, tokens_fn=tokens_fn), doc_space, n_shards, partitions,
             payload_codec, block_size, track_progress=True,
         )
         # Materialize block rows before the range write: repartitionByRange
@@ -494,6 +503,8 @@ def _build_index_inner(
             "encoded_payload_bytes": int(enc["b"] or 0),
             "segment_files": files,
         }
+        if tokenizer is not None:
+            manifest["tokenizer_tag"] = tokenizer.tag()
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)
     return IndexHandle(out_dir)

@@ -14,10 +14,15 @@ from pyspark.sql import functions as F
 from grenad_spark.functions.tokenize import tokens_col
 
 
-def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    tokens_fn=None,
+) -> DataFrame:
     """(doc_id, dl) token count per document — computed without a shuffle
-    (size() over the token array, no explode)."""
-    return docs.select(F.col(id_col), F.size(tokens_col(text_col)).alias("dl"))
+    (size() over the token array, no explode). tokens_fn overrides the
+    tokenizer (custom TokenizerSettings builds)."""
+    tk = tokens_fn or tokens_col
+    return docs.select(F.col(id_col), F.size(tk(text_col)).alias("dl"))
 
 
 def term_stats(tdt: DataFrame) -> DataFrame:

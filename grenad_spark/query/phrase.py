@@ -145,33 +145,48 @@ def _make_phrase_kernel(
     return fn
 
 
-def phrase_matches(
-    spark: SparkSession, index, phrase: str
+def phrase_match_pairs(
+    spark: SparkSession, index, pairs: list[tuple[int, str]]
 ) -> DataFrame:
-    """(doc_id) of every doc containing `phrase` token-adjacently — the
-    UNRANKED match set (no top-k window, no score sort): what a facet
-    restriction or downstream filter consumes. Work ∝ the phrase terms'
-    posting sizes."""
-    phrases = _tokenize_phrases([(1, phrase)])
-    toks = phrases.get(1, [])
-    if not toks:
-        return spark.createDataFrame([], "doc_id long")
+    """(query_id, doc_id) UNRANKED adjacency match sets for a BATCH of
+    (query_id, phrase) pairs — one pruned positions scan + one kernel pass
+    for the whole batch. Phrases with an OOV term (driver df-map probe)
+    match nothing and never reach the scan. What facet restrictions,
+    downstream filters and negative-phrase exclusions consume."""
+    phrases = {q: t for q, t in _tokenize_phrases(pairs).items() if t}
+    if not phrases:
+        return spark.createDataFrame([], "query_id int, doc_id long")
     n_docs = float(index.n_docs)
     dfm = index.df_map(spark)
-    if dfm is not None and any(t not in dfm for t in toks):
-        return spark.createDataFrame([], "doc_id long")
-    pairs = [
-        (1, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
-        for t in set(toks)
+    if dfm is not None:
+        phrases = {
+            q: toks for q, toks in phrases.items()
+            if all(t in dfm for t in toks)
+        }
+        if not phrases:
+            return spark.createDataFrame([], "query_id int, doc_id long")
+    qt = [
+        (qid, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for qid, toks in sorted(phrases.items())
+        for t in sorted(set(toks))
     ]
-    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    blocks = _positions_blocks(spark, index, n_docs, qt, dfm is not None)
     per_shard = blocks.select(
         "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_phrase_kernel(phrases, float(index.avgdl), index.payload_codec),
         _OUT_SCHEMA,
     )
-    return per_shard.select("doc_id")
+    return per_shard.select("query_id", "doc_id")
+
+
+def phrase_matches(
+    spark: SparkSession, index, phrase: str
+) -> DataFrame:
+    """(doc_id) of every doc containing `phrase` token-adjacently — the
+    single-phrase head over phrase_match_pairs. Work ∝ the phrase terms'
+    posting sizes."""
+    return phrase_match_pairs(spark, index, [(1, phrase)]).select("doc_id")
 
 
 def search_topk_phrase(

@@ -2485,6 +2485,166 @@ SELECT query_id, doc_id, score FROM (
 """
 
 
+def parse_negative_phrases(q: str) -> tuple[str, list[str]]:
+    """Extract `-"..."` segments (Meilisearch v1.8 negative PHRASES) from a
+    raw query string. Returns (remaining query, phrase strings); the
+    remainder still carries plain words and `-word` exclusions for
+    parse_negative_query."""
+    import re
+
+    phrases = [m.group(1) for m in re.finditer(r'-"([^"]*)"', q)]
+    rest = re.sub(r'-"[^"]*"', " ", q)
+    return rest, [p for p in phrases if p.strip()]
+
+
+def search_topk_negative_phrases(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Negative keywords AND negative phrases: disjunctive BM25 over the
+    positive terms minus docs containing any `-word` term OR matching any
+    `-"..."` phrase token-adjacently. Both exclusion sets anti-join BEFORE
+    the per-query window, so excluded docs are replaced by next-best.
+
+    Scale: the word sides ride In(term)-pruned segment scans; the phrase
+    side is ONE batched In(term)-pruned positions scan + kernel pass
+    (phrase.phrase_match_pairs) — work ∝ the excluded phrases' posting
+    sizes, and the union'd exclusion keys on (query_id, doc_id),
+    co-partitioned with the scoring shuffle."""
+    from grenad_spark.query.phrase import phrase_match_pairs
+
+    pos_pairs: list[tuple[int, str]] = []
+    neg_pairs: list[tuple[int, str]] = []
+    ph_pairs: list[tuple[int, str]] = []
+    seen: set = set()
+    for qid, q in queries:
+        rest, phrases = parse_negative_phrases(q)
+        pos, neg = parse_negative_query(rest)
+        for t in pos:
+            if (qid, t, "p") not in seen:
+                seen.add((qid, t, "p"))
+                pos_pairs.append((qid, t))
+        for t in neg:
+            if (qid, t, "n") not in seen:
+                seen.add((qid, t, "n"))
+                neg_pairs.append((qid, t))
+        for p in sorted(set(phrases)):
+            ph_pairs.append((qid, p))
+    if not pos_pairs:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    avgdl = float(index.avgdl)
+    codec = index.payload_codec
+    blocks, _ = _query_blocks_from_pairs(spark, index, pos_pairs)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "max_tf", "min_dl", "payload",
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+    )
+    exclusions: list[DataFrame] = []
+    if neg_pairs:
+        nblocks, _ = _query_blocks_from_pairs(spark, index, neg_pairs)
+        exclusions.append(
+            nblocks.select(
+                "query_id", "shard", "term", "idf", "n", "first_doc",
+                "last_doc", "max_tf", "min_dl", "payload",
+            ).groupBy("query_id", "shard").applyInPandas(
+                _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
+            ).select("query_id", "doc_id")
+        )
+    if ph_pairs:
+        # phrase ids collide across queries only if the same qid repeats a
+        # phrase — deduped above; the batch carries (qid, phrase) directly
+        exclusions.append(phrase_match_pairs(spark, index, ph_pairs))
+    for exc in exclusions:
+        per_shard = per_shard.join(exc, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def sql_negative_phrases_topk(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB oracle for search_topk_negative_phrases: word exclusions as a
+    VALUES relation, phrase exclusions as substring containment over the
+    space-joined normalized token stream (' t1 t2 ' contains ' p1 p2 '),
+    both NOT EXISTS before the ranking window."""
+    from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE as TSR
+    from grenad_spark.functions.tokenize import sql_term_doc_tf
+    from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS
+
+    import re
+
+    pos_rows, neg_rows, ph_rows = [], [], []
+    for qid, q in queries:
+        rest, phrases = parse_negative_phrases(q)
+        pos, neg = parse_negative_query(rest)
+        pos_rows += [f"({qid}, '{t}')" for t in sorted(set(pos))]
+        neg_rows += [f"({qid}, '{t}')" for t in sorted(set(neg))]
+        for p in sorted(set(phrases)):
+            toks = [t for t in re.split(TSR, p.lower()) if t]
+            if toks:
+                ph_rows.append(f"({qid}, ' {' '.join(toks)} ')")
+    if not pos_rows:
+        return "SELECT NULL::INT query_id, NULL::BIGINT doc_id, NULL::DOUBLE score WHERE false"
+    neg_cte = (
+        f"(VALUES {', '.join(neg_rows)}) AS n(query_id, term)"
+        if neg_rows
+        else "(SELECT NULL::INT AS query_id, NULL::VARCHAR AS term WHERE false) n"
+    )
+    ph_cte = (
+        f"(VALUES {', '.join(ph_rows)}) AS p(query_id, pat)"
+        if ph_rows
+        else "(SELECT NULL::INT AS query_id, NULL::VARCHAR AS pat WHERE false) p"
+    )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(pos_rows)}) AS p(query_id, term)),
+nq AS (SELECT * FROM {neg_cte}),
+pq AS (SELECT * FROM {ph_cte}),
+excluded AS (
+  SELECT DISTINCT nq.query_id, tdt.doc_id FROM tdt JOIN nq ON tdt.term = nq.term
+  UNION
+  SELECT pq.query_id, toks.doc_id
+  FROM toks CROSS JOIN pq
+  WHERE contains(' ' || array_to_string(toks.t, ' ') || ' ', pq.pat)
+),
+scored AS (
+  SELECT qt.query_id, tdt.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tdt
+  JOIN qt ON tdt.term = qt.term
+  JOIN ts ON tdt.term = ts.term
+  JOIN dl ON tdt.doc_id = dl.doc_id
+  CROSS JOIN cs
+  GROUP BY qt.query_id, tdt.doc_id
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM excluded e WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
+  )
+) WHERE rn <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # matchingStrategy=last — Meilisearch's default word-dropping semantics:
 # words are removed from the END of the query until a doc matches, so docs

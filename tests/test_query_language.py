@@ -202,3 +202,69 @@ def test_highlight_wraps_exactly_matched_tokens(spark, docs_small, index_small):
         )
         assert r.formatted == expect
         assert "<em>" in r.formatted  # a returned doc matched something
+
+
+def test_negative_phrase_excludes_adjacent_only(spark, docs_small, index_small):
+    """-"a b" excludes exactly the docs where a and b are ADJACENT in
+    order; docs containing both words apart survive. Word and phrase
+    exclusions compose; an OOV phrase excludes nothing; ranking equals the
+    brute-force oracle on the surviving set."""
+    from grenad_spark.index.positions import build_positions
+    from grenad_spark.query.search import (
+        parse_negative_phrases,
+        parse_negative_query,
+        search_topk_negative_phrases,
+    )
+
+    if not index_small.has_positions():
+        build_positions(
+            spark, docs_small.select("doc_id", "text"), index_small.path
+        )
+    toks = _corpus_tokens(docs_small)
+    n, avgdl, df = _bm25_parts(toks)
+    queries = [
+        (1, 'spark -"merge sort"'),
+        (2, 'data -"the fast" -batch'),
+        (3, 'join -"zzz missing"'),
+        (4, '-"merge sort"'),
+    ]
+    out = search_topk_negative_phrases(spark, index_small, queries, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert 4 not in got  # only-negative query matches nothing
+
+    def has_phrase(ts, ph):
+        pt = ph.lower().split()
+        return any(ts[i:i + len(pt)] == pt for i in range(len(ts)))
+
+    saw_phrase_excluded = False
+    for qid, q in queries[:3]:
+        rest, phrases = parse_negative_phrases(q)
+        pos, neg = parse_negative_query(rest)
+        cand = []
+        for d, ts in toks.items():
+            if not any(t in ts for t in pos):
+                continue
+            if any(t in ts for t in neg):
+                continue
+            if any(has_phrase(ts, p) for p in phrases):
+                saw_phrase_excluded = True
+                # non-adjacent co-occurrence must SURVIVE — checked below
+                continue
+            cand.append(d)
+        expect = sorted(
+            ((d, _score(toks, avgdl, n, df, d, pos)) for d in cand),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert got.get(qid, []) == expect, qid
+    assert saw_phrase_excluded
+    # non-vacuity of adjacency: some returned doc for q1 contains both
+    # 'merge' and 'sort' NON-adjacently (a bag-of-words exclusion would
+    # have dropped it)
+    survivors = [d for d, _ in got[1]]
+    assert any(
+        "merge" in toks[d] and "sort" in toks[d]
+        and not has_phrase(toks[d], "merge sort")
+        for d in survivors
+    )
