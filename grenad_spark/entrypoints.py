@@ -1210,9 +1210,12 @@ def q_bm25_negative_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing any `-word` OR matching any `-"..."` phrase adjacently —
     the phrase exclusions ride ONE batched pruned positions scan
     (phrase_match_pairs)."""
+    from grenad_spark.index.positions import build_positions
     from grenad_spark.query.search import search_topk_negative_phrases
 
     idx = build_or_get_index(spark, sf_dir)
+    if not idx.has_positions():
+        build_positions(spark, _docs(spark, sf_dir), idx.path)
     return search_topk_negative_phrases(spark, idx, _NEGP_QUERIES, k=10)
 
 
@@ -1726,6 +1729,34 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_or_get_fielded_index(spark, sf_dir)
     return _fields.search_topk_exact_field(
         spark, idx, _fields.EXACT_FIELD_QUERIES, field="title", k=10
+    )
+
+
+# proximityPrecision=byAttribute: within-title pairs cost 1, cross-field
+# and absent pairs cost 8; a same-term pair needs 2 occurrences in a field
+_PROX_ATTR_QUERIES = [
+    (1, "merge sort"),
+    (2, "the fast table"),
+    (3, "spark window stream"),
+    (4, "data data"),
+    (5, "join"),              # single term: proximity 0 for every match
+]
+
+
+@register(
+    "bm25_topk_proximity_attr",
+    _fields.sql_proximity_attr_topk(
+        _PROX_ATTR_QUERIES, title_tokens=corpus.TITLE_TOKENS
+    ),
+)
+def q_bm25_proximity_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proximityPrecision=byAttribute (Meilisearch v1.6): adjacent query
+    pairs cost 1 when co-occurring in one FIELD, else 8 — the kernel
+    compares (doc, fid) sets, never position arrays (the cheaper precision
+    Meilisearch trades down to at indexing time)."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _fields.search_topk_proximity_attr(
+        spark, idx, _PROX_ATTR_QUERIES, k=10
     )
 
 
@@ -2562,6 +2593,10 @@ _OVERFLOW_ORDER = [
     # negative anti-join shape with the gated phrase kernel (batched via
     # phrase_match_pairs) — kernel-riding composition, overflow debut
     "bm25_topk_negative_phrase",
+    # session-4 debut bm25_topk_proximity_attr (proximityPrecision=
+    # byAttribute): a NEW kernel ((doc, fid)-set comparison) — third in
+    # line for promotion next round
+    "bm25_topk_proximity_attr",
     # session-4 kernel-riding debuts (documented exception: ngram_concat is
     # a driver-side candidate rewrite feeding the gated disjunct kernel —
     # the synonyms shape; crop is k·|queries|-row post-processing over the

