@@ -780,3 +780,30 @@ def test_stopword_chain_shapes():
     assert _stopword_chain(
         ["the", "x", "the", "the", "y", "a"], {"the", "a"}
     ) == [(0, "x"), (3, "y")]
+
+
+def test_positions_resume_repairs_manifest(spark, phrase_index):
+    """A second build_positions call on a _SUCCESS-complete table returns
+    early without Spark work AND restores the manifest's has_positions
+    flag if a crash between the parquet write and the manifest update
+    left it unset (the flag must never stay stale on resume)."""
+    import json
+    import os
+
+    from grenad_spark.index.positions import build_positions
+
+    idx, _rows = phrase_index
+    mpath = os.path.join(idx.path, "manifest.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m.get("has_positions") is True
+    m.pop("has_positions")
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    # docs arg irrelevant on the early-return path; pass an empty frame to
+    # prove no job runs
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_positions(spark, empty, idx.path)
+    with open(mpath) as fh:
+        m2 = json.load(fh)
+    assert m2["has_positions"] is True
