@@ -828,6 +828,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+@register("text_repetition", textstats.sql_repetition_stats())
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family n-gram repetition filter (Rae et al. 2021 table A1,
+    token-adapted): top-2/3-gram dominance and duplicate-5-gram mass per
+    doc plus the keep verdict — one tagged-n-gram explode, one partial-agg
+    shuffle ∝ n-grams, one pivot; zero UDFs."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Facets — Meilisearch facet distribution (grenad facet databases).
 # ---------------------------------------------------------------------------
@@ -2635,6 +2644,9 @@ _OVERFLOW_ORDER = [
     "bm25_topk", "curation_pipeline", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint",
+    # session-4 debut text_repetition (Gopher repetition filters): pure
+    # built-in-expr projection/agg family like its text_* siblings
+    "text_repetition",
     "facet_counts", "facet_numeric_buckets",
 ]
 

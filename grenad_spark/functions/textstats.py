@@ -173,3 +173,121 @@ SQL_FINGERPRINT = (
     f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''))), ' ')) AS fp "
     "FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition statistics — the Gopher repetition-filter family
+# (Rae et al. 2021, table A1: documents dominated by a repeated n-gram or
+# by duplicated n-grams are boilerplate/spam). Adapted to token n-grams
+# over the engine tokenizer:
+#   top2_frac  = occurrences of the most frequent 2-gram / total 2-grams
+#   top3_frac  = same for 3-grams
+#   dup5_frac  = occurrences belonging to 5-grams seen >= 2 times / total
+#   keep       = top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.15
+# All thresholds are the published Gopher-family defaults. Pure built-in
+# exprs: ONE explode of the tagged n-gram stream, one (doc, n, gram)
+# partial-agg shuffle (∝ n-grams, never ∝ pairs), one pivot.
+# ---------------------------------------------------------------------------
+
+REP_TOP2_MAX = 0.20
+REP_TOP3_MAX = 0.18
+REP_DUP5_MAX = 0.15
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", tokens_col("text").alias("t"))
+
+    def grams(n: int):
+        return F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rows = None
+    for n in (2, 3, 5):
+        part = base.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(grams(n)).alias("g")
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    cnts = rows.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    stats = cnts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    piv = (
+        stats.groupBy("doc_id")
+        .pivot("n", [2, 3, 5])
+        .agg(
+            F.first("mx").alias("mx"),
+            F.first("tot").alias("tot"),
+            F.first("dup").alias("dup"),
+        )
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(
+                F.coalesce(F.col(den), F.lit(0)) > 0,
+                F.col(num).cast("double") / F.col(den),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    out = (
+        docs.select("doc_id")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            frac("2_mx", "2_tot").alias("top2_frac"),
+            frac("3_mx", "3_tot").alias("top3_frac"),
+            frac("5_dup", "5_tot").alias("dup5_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top2_frac") <= REP_TOP2_MAX)
+        & (F.col("top3_frac") <= REP_TOP3_MAX)
+        & (F.col("dup5_frac") <= REP_DUP5_MAX),
+    )
+
+
+def sql_repetition_stats() -> str:
+    parts = []
+    for n in (2, 3, 5):
+        parts.append(f"""
+g{n} AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {n}
+         THEN list_transform(range(1, len(toks) - {n} + 2),
+                             i -> array_to_string(toks[i:i + {n} - 1], ' '))
+         ELSE [] END) AS g
+  FROM t
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+s{n} AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+  FROM c{n} GROUP BY doc_id
+)""")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),{", ".join(parts)}
+SELECT d.doc_id,
+       round(CASE WHEN coalesce(s2.tot, 0) > 0 THEN s2.mx::DOUBLE / s2.tot ELSE 0.0 END, 6) AS top2_frac,
+       round(CASE WHEN coalesce(s3.tot, 0) > 0 THEN s3.mx::DOUBLE / s3.tot ELSE 0.0 END, 6) AS top3_frac,
+       round(CASE WHEN coalesce(s5.tot, 0) > 0 THEN s5.dup::DOUBLE / s5.tot ELSE 0.0 END, 6) AS dup5_frac,
+       (round(CASE WHEN coalesce(s2.tot, 0) > 0 THEN s2.mx::DOUBLE / s2.tot ELSE 0.0 END, 6) <= {REP_TOP2_MAX}
+        AND round(CASE WHEN coalesce(s3.tot, 0) > 0 THEN s3.mx::DOUBLE / s3.tot ELSE 0.0 END, 6) <= {REP_TOP3_MAX}
+        AND round(CASE WHEN coalesce(s5.tot, 0) > 0 THEN s5.dup::DOUBLE / s5.tot ELSE 0.0 END, 6) <= {REP_DUP5_MAX}) AS keep
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN s2 ON s2.doc_id = d.doc_id
+LEFT JOIN s3 ON s3.doc_id = d.doc_id
+LEFT JOIN s5 ON s5.doc_id = d.doc_id
+"""

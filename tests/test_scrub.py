@@ -42,3 +42,40 @@ def test_decontaminate_drops_shingle_sharers(spark):
     # the benchmark-shingle side must broadcast (tiny eval suite)
     plan = scrub.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_hand_cases(spark):
+    """Gopher repetition fractions on hand-computable docs; keep verdicts
+    at the published thresholds; short docs degrade to zero fractions."""
+    import duckdb
+    import pandas as pd
+
+    from grenad_spark.functions.textstats import (
+        repetition_stats,
+        sql_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),      # 'a b' = 4/7 of bigrams
+            (1, "x y z w v u t s r q"),  # all n-grams unique
+            (2, "m m m m m m"),          # one token repeated
+            (3, "one two"),              # below 5-gram length
+            (4, "t"),                    # no n-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    got = (
+        repetition_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.loc[0, "top2_frac"] == round(4 / 7, 6)
+    assert not got.loc[0, "keep"] and not got.loc[2, "keep"]
+    assert got.loc[1, "keep"] and got.loc[4, "keep"]
+    assert got.loc[4, "top2_frac"] == 0.0
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = (
+        con.execute(sql_repetition_stats()).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
