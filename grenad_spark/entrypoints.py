@@ -1741,6 +1741,26 @@ def q_bm25_exact_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_topk_typo_disable_attrs",
+    _fields.sql_typo_disable_attrs_topk(
+        bm25.TYPO_SETTINGS_QUERIES,
+        _TypoSettings(**_TYPO_SETTINGS_KW),
+        title_tokens=corpus.TITLE_TOKENS,
+    ),
+)
+def q_bm25_typo_disable_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typoTolerance.disableOnAttributes=["body"]: typo-DERIVED matches
+    only count (and only contribute tf) through title occurrences; exact
+    words count everywhere — the last piece of the typoTolerance settings
+    object beside minWordSizeForTypos + disableOnWords."""
+    idx = build_or_get_fielded_index(spark, sf_dir)
+    return _fields.search_topk_typo_disable_attrs(
+        spark, idx, bm25.TYPO_SETTINGS_QUERIES,
+        _TypoSettings(**_TYPO_SETTINGS_KW), disable_on=("body",), k=10,
+    )
+
+
 # proximityPrecision=byAttribute: within-title pairs cost 1, cross-field
 # and absent pairs cost 8; a same-term pair needs 2 occurrences in a field
 _PROX_ATTR_QUERIES = [
@@ -2606,6 +2626,9 @@ _OVERFLOW_ORDER = [
     # byAttribute): a NEW kernel ((doc, fid)-set comparison) — third in
     # line for promotion next round
     "bm25_topk_proximity_attr",
+    # session-4 debut bm25_topk_typo_disable_attrs: fid-masked tf for
+    # typo-DERIVED terms only (new kernel over the gated expansion stage)
+    "bm25_topk_typo_disable_attrs",
     # session-4 kernel-riding debuts (documented exception: ngram_concat is
     # a driver-side candidate rewrite feeding the gated disjunct kernel —
     # the synonyms shape; crop is k·|queries|-row post-processing over the

@@ -803,3 +803,243 @@ SELECT query_id, doc_id, proximity, score FROM (
   LEFT JOIN prox p ON p.query_id = sc.query_id AND p.doc_id = sc.doc_id
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# typoTolerance.disableOnAttributes — typo-derived matches don't count
+# inside the disabled attributes (Meilisearch: "disable typo tolerance on
+# the specified attributes"); EXACT word matches count everywhere. The
+# missing piece of the typoTolerance settings object beside
+# minWordSizeForTypos + disableOnWords (search.TypoSettings).
+# ---------------------------------------------------------------------------
+
+_TYPO_ATTR_SCHEMA = (
+    "query_id int, doc_id long, hit_terms int, typos long, score double"
+)
+
+
+def _make_typo_attr_kernel(
+    qslots: dict[int, list[str]],
+    slot_meta: dict[int, dict[str, list[tuple[int, int]]]],
+    allowed: list[int],
+    avgdl: float,
+    codec: str,
+):
+    allowed_arr = np.asarray(sorted(allowed), dtype=np.int64)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "hit_terms": pd.Series(dtype="int32"),
+                "typos": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        meta = slot_meta.get(qid, {})
+        decoded, idfs = _decode_groups(pdf, codec)
+        # per (term, doc): tf_full and tf restricted to allowed fids
+        all_docs = np.unique(
+            np.concatenate([d for d, *_ in decoded.values()])
+        )
+        n_slots = len(qslots[qid])
+        INF = np.int64(1) << np.int64(40)
+        slot_min = np.full((all_docs.size, n_slots), INF, dtype=np.int64)
+        scores = np.zeros(all_docs.size, dtype=np.float64)
+        for term, (d, tf, dl, pos, occ) in decoded.items():
+            if term not in meta or d.size == 0:
+                continue
+            mask = np.isin(pos >> np.int64(FIELD_BITS), allowed_arr)
+            tf_allowed = np.add.reduceat(mask.astype(np.int64), occ)
+            sel = np.searchsorted(all_docs, d)
+            exact_somewhere = any(dd == 0 for _s, dd in meta[term])
+            tf_used = tf.astype(np.float64) if exact_somewhere else (
+                tf_allowed.astype(np.float64)
+            )
+            pos_tf = tf_used > 0
+            scores[sel[pos_tf]] += idfs[term] * _tfpart(
+                tf_used[pos_tf], dl[pos_tf].astype(np.float64), avgdl
+            )
+            for slot, dist in meta[term]:
+                if dist == 0:
+                    cover = np.ones(d.size, dtype=bool)
+                else:
+                    cover = tf_allowed > 0
+                if not cover.any():
+                    continue
+                idx = sel[cover]
+                slot_min[idx, slot] = np.minimum(
+                    slot_min[idx, slot], np.int64(dist)
+                )
+        covered = slot_min < INF
+        hit = covered.sum(axis=1).astype(np.int64)
+        keep = hit > 0
+        if not keep.any():
+            return empty
+        typos = np.where(covered, slot_min, 0).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": all_docs[keep],
+                "hit_terms": hit[keep].astype("int32"),
+                "typos": typos[keep],
+                "score": scores[keep],
+            }
+        )
+
+    return fn
+
+
+def search_topk_typo_disable_attrs(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    settings=None,
+    disable_on: tuple[str, ...] = ("body",),
+    k: int = 10,
+) -> DataFrame:
+    """typoTolerance.disableOnAttributes serving over the fielded index:
+    per-word budgets as in search_topk_typo_settings, but a DERIVED
+    (distance >= 1) expansion term only covers its slot — and only
+    contributes tf to BM25 — through occurrences OUTSIDE the disabled
+    attributes; exact words count everywhere with full tf. Ranking is the
+    same rule pipeline (hit_terms DESC, typos ASC, BM25 DESC, doc ASC).
+
+    Scale: one In(term)-pruned POSITIONS scan (the fid rides the packed
+    position, no extra column), one exchange into the kernel — identical
+    plan shape to every positional kernel; the fid mask is a per-occurrence
+    compare, zero extra jobs over the plain typo path."""
+    from grenad_spark.query.search import TypoSettings, typo_slot_expansion
+
+    fields = _require_fielded(index)
+    bad = [f for f in disable_on if f not in fields]
+    if bad:
+        raise ValueError(f"unknown attributes {bad}; index has {fields}")
+    allowed = [i for i, f in enumerate(fields) if f not in set(disable_on)]
+    settings = settings or TypoSettings()
+    qslots, slot_meta, pairs = typo_slot_expansion(spark, index, queries, settings)
+    if not pairs:
+        return spark.createDataFrame([], _TYPO_ATTR_SCHEMA)
+    n_docs = float(index.n_docs)
+    dfm = index.df_map(spark)
+    tri = [
+        (qid, t, _driver_idf(n_docs, dfm[t]) if dfm is not None else float("nan"))
+        for qid, t in pairs
+    ]
+    blocks = _positions_blocks(spark, index, n_docs, tri, dfm is not None)
+    per_shard = blocks.select(
+        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+    ).groupBy("query_id", "shard").applyInPandas(
+        _make_typo_attr_kernel(
+            qslots, slot_meta, allowed, float(index.avgdl), index.payload_codec
+        ),
+        _TYPO_ATTR_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hit_terms"), F.asc("typos"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_id", "doc_id", "hit_terms", "typos", "score")
+    )
+
+
+def sql_typo_disable_attrs_topk(
+    queries: list[tuple[int, str]],
+    settings=None,
+    k: int = 10,
+    title_tokens: int = 5,
+) -> str:
+    """DuckDB oracle for search_topk_typo_disable_attrs with
+    disable_on=("body",): derived matches must occur in the TITLE slice
+    (first `title_tokens` tokens); exact matches count anywhere with full
+    tf; derived terms score with title-restricted tf."""
+    import re
+
+    from grenad_spark.query.search import TypoSettings
+
+    settings = settings or TypoSettings()
+    rows = []
+    for qid, q in queries:
+        for qterm in dict.fromkeys(
+            t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t
+        ):
+            rows.append(f"({int(qid)}, '{qterm}', {settings.budget(qterm)})")
+    vals = ", ".join(rows)
+    return f"""
+WITH tdt AS ({sql_term_doc_tf('documents')}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tdt GROUP BY term),
+vocab AS (SELECT DISTINCT term FROM tdt),
+tda AS (  -- allowed-fid (title) term counts
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(list_slice(t, 1, {title_tokens})) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+rawq AS (SELECT * FROM (VALUES {vals}) AS v(query_id, qterm, budget)),
+qx AS (
+  SELECT r.query_id, r.qterm, v.term, levenshtein(v.term, r.qterm)::BIGINT AS lev
+  FROM rawq r JOIN vocab v
+    ON abs(length(v.term) - length(r.qterm)) <= r.budget
+   AND levenshtein(v.term, r.qterm) <= r.budget
+),
+-- a term is EXACT for a query when it equals one of its words
+qexact AS (SELECT DISTINCT query_id, term FROM qx WHERE lev = 0),
+-- slot coverage rows: exact via tdt (anywhere), derived via tda (title)
+cover AS (
+  SELECT qx.query_id, tdt.doc_id, qx.qterm, qx.lev
+  FROM qx JOIN tdt ON tdt.term = qx.term WHERE qx.lev = 0
+  UNION ALL
+  SELECT qx.query_id, tda.doc_id, qx.qterm, qx.lev
+  FROM qx JOIN tda ON tda.term = qx.term WHERE qx.lev > 0
+),
+slotm AS (
+  SELECT query_id, doc_id, qterm, min(lev) AS typos
+  FROM cover GROUP BY 1, 2, 3
+),
+agg2 AS (
+  SELECT query_id, doc_id, count(*)::INT AS hit_terms, sum(typos)::BIGINT AS typos
+  FROM slotm GROUP BY 1, 2
+),
+-- scoring tf: full tf for exact terms, title tf for derived-only terms
+qterms AS (SELECT DISTINCT query_id, term FROM qx),
+stf AS (
+  SELECT q.query_id, tdt.doc_id, q.term, tdt.tf
+  FROM qterms q JOIN qexact e ON e.query_id = q.query_id AND e.term = q.term
+  JOIN tdt ON tdt.term = q.term
+  UNION ALL
+  SELECT q.query_id, tda.doc_id, q.term, tda.tf
+  FROM qterms q
+  LEFT JOIN qexact e ON e.query_id = q.query_id AND e.term = q.term
+  JOIN tda ON tda.term = q.term
+  WHERE e.term IS NULL
+),
+scored AS (
+  SELECT s.query_id, s.doc_id,
+         round(sum(
+           ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (s.tf * ({K1} + 1)) / (s.tf + {K1} * (1 - {B} + {B} * dl.dl / cs.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM stf s
+  JOIN ts ON ts.term = s.term
+  JOIN dl ON dl.doc_id = s.doc_id
+  CROSS JOIN cs
+  GROUP BY s.query_id, s.doc_id
+)
+SELECT query_id, doc_id, hit_terms, typos, score FROM (
+  SELECT a.query_id, a.doc_id, a.hit_terms, a.typos, sc.score,
+         row_number() OVER (PARTITION BY a.query_id
+           ORDER BY a.hit_terms DESC, a.typos ASC, sc.score DESC, a.doc_id ASC) AS rn
+  FROM agg2 a JOIN scored sc ON sc.query_id = a.query_id AND sc.doc_id = a.doc_id
+) WHERE rn <= {k}
+"""

@@ -2083,29 +2083,23 @@ class TypoSettings:
         return 1 if len(qterm) < self.two_typos else 2
 
 
-def search_topk_typo_settings(
+def typo_slot_expansion(
     spark: SparkSession,
     index: IndexHandle,
     queries: list[tuple[int, str]],
-    settings: TypoSettings | None = None,
-    k: int = 10,
-) -> DataFrame:
-    """Typo-tolerant ranked search under PER-WORD typo budgets (Meilisearch
-    typoTolerance.minWordSizeForTypos + disableOnWords): each query word's
-    edit budget comes from settings.budget(word); ranking is the same rule
-    pipeline as search_topk_fuzzy_ranked (slots DESC, typos ASC, BM25 DESC,
-    doc ASC). (query_id, doc_id, hit_terms, typos, score).
-
-    Expansion runs per budget bucket through the persisted tables — exact
-    terms as an In(term)-pruned dictionary probe, 1-edit via the bigram
-    table, 2-edit via the SymSpell deletion table — so no bucket ever scans
-    the vocabulary."""
-    settings = settings or TypoSettings()
+    settings: "TypoSettings",
+) -> tuple[dict, dict, list]:
+    """Shared expansion stage of the typoTolerance serving paths:
+    (qslots, slot_meta, pairs) where qslots = qid -> ordered deduped query
+    words, slot_meta = qid -> term -> [(slot, distance)], pairs = the
+    (qid, term) scan list. Exact words probe the dictionary (In-pruned),
+    1-edit rides the bigram table, 2-edit the SymSpell deletion table —
+    no bucket scans the vocabulary."""
     qslots: dict[int, list[str]] = {}
     for qid, qterm in _tokenize_queries(queries):
         qslots.setdefault(qid, []).append(qterm)
     if not qslots:
-        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+        return {}, {}, []
     by_budget: dict[int, dict[int, list[str]]] = {0: {}, 1: {}, 2: {}}
     for qid, slots in qslots.items():
         for qterm in dict.fromkeys(slots):
@@ -2132,7 +2126,7 @@ def search_topk_typo_settings(
             pairs.extend(expand_fuzzy_queries(spark, index, sub, budget))
     pairs = sorted(set(pairs))
     if not pairs:
-        return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
+        return qslots, {}, []
     # slot metadata under PER-SLOT budgets: expansion term t covers slot
     # (qid, i) iff lev(t, word_i) <= budget(word_i)
     slot_meta: dict[int, dict[str, list[tuple[int, int]]]] = {}
@@ -2145,6 +2139,28 @@ def search_topk_typo_settings(
         if tl:
             slot_meta.setdefault(qid, {})[term] = tl
     pairs = [(q, t) for q, t in pairs if t in slot_meta.get(q, {})]
+    return qslots, slot_meta, pairs
+
+
+def search_topk_typo_settings(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[tuple[int, str]],
+    settings: TypoSettings | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Typo-tolerant ranked search under PER-WORD typo budgets (Meilisearch
+    typoTolerance.minWordSizeForTypos + disableOnWords): each query word's
+    edit budget comes from settings.budget(word); ranking is the same rule
+    pipeline as search_topk_fuzzy_ranked (slots DESC, typos ASC, BM25 DESC,
+    doc ASC). (query_id, doc_id, hit_terms, typos, score).
+
+    Expansion runs per budget bucket through the persisted tables — exact
+    terms as an In(term)-pruned dictionary probe, 1-edit via the bigram
+    table, 2-edit via the SymSpell deletion table — so no bucket ever scans
+    the vocabulary."""
+    settings = settings or TypoSettings()
+    qslots, slot_meta, pairs = typo_slot_expansion(spark, index, queries, settings)
     if not pairs:
         return spark.createDataFrame([], _OUT_TYPO_SCHEMA)
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)

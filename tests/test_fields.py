@@ -240,3 +240,64 @@ def test_proximity_by_attribute_bruteforce(spark, fields_index):
     # non-vacuity: q1 must rank some cost-1 doc above a cost-8 doc
     proxes = {p for _, p, _ in got[1]}
     assert 1 in proxes or 8 in proxes
+
+
+def test_typo_disable_attrs_bruteforce(spark, fields_index):
+    """disableOnAttributes=["body"]: a typo-derived term covers its slot
+    (and contributes tf) only via TITLE occurrences; exact words count
+    everywhere with full tf."""
+    from grenad_spark.query.fields import search_topk_typo_disable_attrs
+    from grenad_spark.query.search import TypoSettings, _levenshtein
+
+    idx, rows = fields_index
+    toks, n, avgdl, df = _stats(rows)
+    titles = {d: t for d, t, _b in rows}
+    st = TypoSettings(one_typo=3, two_typos=6)
+    queries = [(1, "alpka"), (2, "zeta bEta"), (3, "gamma")]
+    out = search_topk_typo_disable_attrs(
+        spark, idx, queries, st, disable_on=("body",), k=10
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.hit_terms, r.typos, r.score)
+        )
+    vocab = sorted(df)
+    for qid, q in queries:
+        words = list(dict.fromkeys(q.lower().split()))
+        exp = {}
+        for d, ts in toks.items():
+            slot_min, score = {}, 0.0
+            for w in words:
+                budget = st.budget(w)
+                for t in vocab:
+                    lev = _levenshtein(t, w)
+                    if lev > budget:
+                        continue
+                    tf_full = ts.count(t)
+                    tf_title = titles[d].count(t)
+                    covers = tf_full > 0 if lev == 0 else tf_title > 0
+                    if covers:
+                        slot_min[w] = min(slot_min.get(w, 99), lev)
+            if not slot_min:
+                continue
+            # score: each expansion term once per query
+            seen_terms = set()
+            for w in words:
+                budget = st.budget(w)
+                for t in vocab:
+                    if _levenshtein(t, w) > budget or t in seen_terms:
+                        continue
+                    seen_terms.add(t)
+                    tf = ts.count(t) if t in words else titles[d].count(t)
+                    if tf > 0:
+                        idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                        score += idf * tf * 2.2 / (
+                            tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl)
+                        )
+            exp[d] = (len(slot_min), sum(slot_min.values()), round(score, 4))
+        want = sorted(
+            ((d, h, ty, sc) for d, (h, ty, sc) in exp.items()),
+            key=lambda x: (-x[1], x[2], -x[3], x[0]),
+        )[:10]
+        assert got.get(qid, []) == want, qid
