@@ -100,3 +100,42 @@ def test_build_under_settings(spark, docs_small, tmp_path):
     eng = {r.doc_id: r.dl for r in idx.docs(spark).collect()}
     for r in docs.select("doc_id", "text").limit(50).collect():
         assert eng[r.doc_id] == len(TS.py_tokens(r.text)), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis cross-engine fuzz: Python `re` and DuckDB's RE2 must agree on
+# every generated (settings, text) pair — the leftmost-first-alternation
+# assumption the module rests on, exercised far beyond the hand cases.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+_CHARS = "ab1 -+._|"
+_texts = st.text(alphabet=_CHARS, max_size=40)
+_words = st.text(alphabet="ab1-+.", min_size=1, max_size=5)
+
+
+@st.composite
+def _tok_settings(draw):
+    nonsep = draw(st.sets(st.sampled_from(["-", "+", ".", "_", "|"]), max_size=3))
+    seps = draw(st.sets(_words, max_size=2))
+    dic = draw(st.sets(_words, max_size=2))
+    return TokenizerSettings(
+        separator_tokens=tuple(sorted(seps)),
+        non_separator_tokens=tuple(sorted(nonsep)),
+        dictionary=tuple(sorted(dic)),
+    )
+
+
+@hsettings(max_examples=200, deadline=None)
+@given(_tok_settings(), _texts)
+def test_py_vs_duckdb_fuzz(ts, text):
+    import duckdb
+
+    py = ts.py_tokens(text)
+    lit = "'" + text.replace("'", "''") + "'"
+    dk = list(
+        duckdb.connect().execute("select " + ts.sql_tokens_expr(lit)).fetchone()[0]
+    )
+    assert py == dk, (ts, text)
