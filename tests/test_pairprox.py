@@ -186,3 +186,34 @@ def test_prefix_pair_scan_is_pruned(spark, prefix_pair_index):
         assert re.search(r"(In|EqualTo|StringStartsWith)\(term", pf), (loc, pf)
         checked += 1
     assert checked >= 2, plan
+
+
+def test_prefix_pair_resume_repairs_manifest(spark, prefix_pair_index):
+    """A second build call on _SUCCESS-complete prefix-pair tables returns
+    early and restores the manifest stanza a crash could have wiped."""
+    import json
+    import os
+
+    from grenad_spark.index.pairprox import (
+        MAX_PAIR_DIST,
+        PREFIX_PAIR_MAX_LEN,
+        PREFIX_PAIR_MIN_TERMS,
+        build_prefix_pair_proximity,
+    )
+
+    mpath = os.path.join(prefix_pair_index.path, "manifest.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m.get("prefix_pair_proximity")
+    m.pop("prefix_pair_proximity")
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_prefix_pair_proximity(spark, empty, prefix_pair_index.path)
+    with open(mpath) as fh:
+        m2 = json.load(fh)
+    assert m2["prefix_pair_proximity"] == {
+        "max_dist": MAX_PAIR_DIST,
+        "max_len": PREFIX_PAIR_MAX_LEN,
+        "min_terms": PREFIX_PAIR_MIN_TERMS,
+    }
