@@ -2390,6 +2390,33 @@ def q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# placeholder search (empty `q`): browse under filter + sort + exhaustive
+# pagination — the everyday Meilisearch "list my documents" request. The
+# filter is the compiled filter-DSL artifact; the page is a distributed
+# top-(offset+limit), never a global sort.
+_PLACEHOLDER_FILTER = _parse_filter("lang IN [en, fr] AND n_chars >= 200")
+_PLACEHOLDER_SORT = [("n_chars", False), ("lang", True)]
+
+from grenad_spark.query.search import (  # noqa: E402
+    sql_placeholder_page as _sql_placeholder,
+)
+
+
+@register(
+    "placeholder_search",
+    _sql_placeholder(_PLACEHOLDER_FILTER, _PLACEHOLDER_SORT, offset=25, limit=20),
+)
+def q_placeholder_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placeholder search: page 25..45 of the filtered corpus sorted by
+    n_chars DESC, lang ASC, doc_id ASC, with the exact total."""
+    from grenad_spark.query.search import placeholder_page
+
+    return placeholder_page(
+        spark, _docs(spark, sf_dir), _PLACEHOLDER_FILTER, _PLACEHOLDER_SORT,
+        offset=25, limit=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 session-4: tokenizer settings (separatorTokens /
 # nonSeparatorTokens / dictionary — Meilisearch v1.4 index settings).
@@ -2670,6 +2697,9 @@ _OVERFLOW_ORDER = [
     # session-4 debut text_repetition (Gopher repetition filters): pure
     # built-in-expr projection/agg family like its text_* siblings
     "text_repetition",
+    # session-4 debut placeholder_search: composition of the gated filter
+    # semi-join + pagination shapes over the documents table (browse mode)
+    "placeholder_search",
     "facet_counts", "facet_numeric_buckets",
 ]
 

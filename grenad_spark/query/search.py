@@ -2061,6 +2061,64 @@ def search_topk_page(
     )
 
 
+def placeholder_page(
+    spark: SparkSession,
+    docs: DataFrame,
+    filter_sql: str | None,
+    sort: list[tuple[str, bool]],
+    offset: int = 0,
+    limit: int = 20,
+) -> DataFrame:
+    """Meilisearch PLACEHOLDER search (empty `q`): browse the index under
+    filter + sort + exhaustive pagination — no relevance, no index scan.
+    sort = [(column, ascending), ...]; doc_id ASC is the final tiebreak.
+    Returns (doc_id, rank, total_hits) — rank is 1-based over the full
+    sorted match set, total_hits the exact filtered count.
+
+    Scale: the filter is a pushed-down predicate on the documents scan
+    (only doc_id + filter/sort columns read). The page is produced by a
+    DISTRIBUTED top-(offset+limit) (TakeOrderedAndProject — per-partition
+    heaps, no global sort), then one window over those ≤ offset+limit rows;
+    total_hits is one column-pruned count agg joined as a literal-sized
+    side. A deep page costs O(offset+limit), never a full sort — the same
+    reason Meilisearch caps maxTotalHits."""
+    base = docs
+    if filter_sql:
+        base = base.filter(F.expr(filter_sql))
+    order = [F.asc(c) if a else F.desc(c) for c, a in sort] + [F.asc("doc_id")]
+    cols = ["doc_id"] + [c for c, _ in sort]
+    top = base.select(*cols).orderBy(*order).limit(int(offset) + int(limit))
+    total = base.select(F.count("*").cast("long").alias("total_hits"))
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > int(offset))
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "rank", "total_hits")
+    )
+
+
+def sql_placeholder_page(
+    filter_sql: str | None,
+    sort: list[tuple[str, bool]],
+    offset: int = 0,
+    limit: int = 20,
+) -> str:
+    """DuckDB oracle for placeholder_page (same compiled filter string)."""
+    order = ", ".join(
+        [f"{c} {'ASC' if a else 'DESC'}" for c, a in sort] + ["doc_id ASC"]
+    )
+    where = f"WHERE {filter_sql}" if filter_sql else ""
+    return f"""
+WITH f AS (SELECT * FROM documents {where}),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY {order}) AS rank FROM f),
+t AS (SELECT count(*)::BIGINT AS total_hits FROM f)
+SELECT r.doc_id, r.rank::INT AS rank, t.total_hits
+FROM r CROSS JOIN t
+WHERE r.rank > {int(offset)} AND r.rank <= {int(offset) + int(limit)}
+"""
+
+
 class TypoSettings:
     """Meilisearch typoTolerance settings: a query word shorter than
     `one_typo` chars gets NO typo tolerance, `one_typo`..`two_typos`-1 chars

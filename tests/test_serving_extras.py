@@ -85,3 +85,27 @@ def test_fetch_documents_keyset_and_offset(spark, docs_small, pdf_docs):
 
     with pytest.raises(ValueError, match="not both"):
         fetch_documents(docs_small, ["lang"], after=1, offset=1)
+
+
+def test_placeholder_page_bruteforce(spark, docs_small):
+    """Placeholder search (empty q): filter + multi-key sort + exhaustive
+    pagination equal the brute-force slice; the plan is a distributed
+    top-(offset+limit) with the filter pushed, never a global sort."""
+    from grenad_spark.query.filter_expr import parse_filter
+    from grenad_spark.query.search import placeholder_page
+
+    fsql = parse_filter("n_chars >= 150")
+    sort = [("n_chars", False), ("lang", True)]
+    out = placeholder_page(spark, docs_small, fsql, sort, offset=10, limit=7)
+    rows = [(r.doc_id, r.rank, r.total_hits) for r in out.collect()]
+    pdf = docs_small.select("doc_id", "n_chars", "lang").toPandas()
+    cand = pdf[pdf.n_chars >= 150].sort_values(
+        ["n_chars", "lang", "doc_id"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    exp = [
+        (int(cand.doc_id[i]), i + 1, len(cand))
+        for i in range(10, min(17, len(cand)))
+    ]
+    assert sorted(rows) == sorted(exp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
