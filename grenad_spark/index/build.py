@@ -401,6 +401,66 @@ def _build_index_inner(
         n_shards = max(1, by_mem, par_floor)
     doc_space = max_doc + 1
 
+    # stage 3 paths (needed by both branches below)
+    # stage 3b: persisted typo index — (gram, term) vocabulary bigrams, the
+    # table Meilisearch precomputes for typo tolerance. Built ONCE here so
+    # fuzzy expansion is a pruned scan + join instead of re-exploding the
+    # whole term dictionary per query batch (at a 10^9-term web vocabulary
+    # that explode is a full-dictionary pass per batch). Range-partitioned on
+    # gram: the query side pushes gram IN (...) into the scan → file pruning.
+    bigrams_path = os.path.join(out_dir, "term_bigrams")
+    # stage 3c: SymSpell-style deletion-variant table — (delvar, term) for
+    # every variant reachable by deleting ≤ MAX_DELETES chars. Serves
+    # max_edits=2 fuzzy expansion WITHOUT any vocabulary scan: if
+    # lev(q, t) ≤ d then deleting ≤ d chars from each reaches a common
+    # string (each edit contributes at most one deletion per side), so
+    # candidates = delvar-equi-join of the two sides' deletion neighborhoods,
+    # then an exact levenshtein filter. The query side's neighborhood is
+    # driver-tiny; this table is the vocabulary side, precomputed once.
+    deletes_path = os.path.join(out_dir, "term_deletes")
+
+    def _write_dict_from(seg_df) -> None:
+        term_dict_from_segments(seg_df).repartitionByRange(
+            max(1, partitions // 8), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(dict_path)
+
+    def _write_aux() -> None:
+        # 3b and 3c both derive from the written term_dict and are
+        # independent of each other — submit them from a small thread pool
+        # so the second job's tasks back-fill executors freed by the first
+        # job's tail (vocabulary-sized jobs: their cost is scheduling
+        # overhead, which overlaps fully).
+        aux_jobs = []
+        if not _done(bigrams_path):
+            aux_jobs.append(
+                lambda: write_term_bigrams(
+                    spark, dict_path, bigrams_path, max(1, partitions // 8))
+            )
+        if not _done(deletes_path):
+            aux_jobs.append(
+                lambda: write_term_deletes(
+                    spark, dict_path, deletes_path, max(1, partitions // 8))
+            )
+        if len(aux_jobs) == 1:
+            aux_jobs[0]()
+        elif aux_jobs:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(aux_jobs)) as pool:
+                for fut in [pool.submit(fn) for fn in aux_jobs]:
+                    fut.result()
+
+    # authoritative dumped-bytes/postings totals for the manifest (the live
+    # accumulators in LAST_BUILD_PROGRESS show the same numbers mid-build; a
+    # resumed build's accumulators would be partial, so the manifest
+    # recomputes from the block-row table — one column-pruned agg)
+    def _enc_agg(seg_df):
+        return seg_df.agg(
+            F.sum("n").cast("long").alias("p"),
+            F.sum(F.length("payload")).cast("long").alias("b"),
+        ).first()
+
+    enc = None
     # stage 2: segments (the wide shuffle + encode)
     if not _done(seg_path):
         ts = time.time()
@@ -417,52 +477,68 @@ def _build_index_inner(
         from pyspark.storagelevel import StorageLevel
 
         segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
-        # storage codec = grenad's per-block compression_type
-        # (src/compression.rs:9-28) at the parquet layer; posting payloads are
-        # additionally varbyte-packed inside the blocks
-        (
-            segments.repartitionByRange(partitions, "term", "shard", "block_id")
-            .sortWithinPartitions("term", "shard", "block_id")
-            .write.mode("overwrite")
-            .option("compression", compression)
-            .parquet(seg_path)
-        )
+        # one count materializes the cache (the expensive pipeline runs
+        # exactly once); every downstream job below reads the cached rows
+        segments.count()
+        stage_secs["segments_encode"] = time.time() - ts
+        ts = time.time()
+
+        # The range write, the term_dict chain (dict → bigrams ∥ deletes)
+        # and the manifest accounting agg are mutually independent consumers
+        # of the cached block rows — run them concurrently so the
+        # vocabulary-sized jobs hide entirely behind the segment write's
+        # tail (driver threads submitting jobs; FIFO scheduling back-fills).
+        def _seg_write():
+            # storage codec = grenad's per-block compression_type
+            # (src/compression.rs:9-28) at the parquet layer; posting
+            # payloads are additionally varbyte-packed inside the blocks.
+            # partitions//4 output files, not `partitions`: block rows are
+            # ~1/100 of the token stream, and every serving query pays a
+            # per-file open/footer cost on the pruned scan (measured ~3 ms
+            # × 64 files = most of a single query's 226 ms scan time at
+            # sf0.1×128; 16 larger files cut it ~4×). The same ratio holds
+            # at cluster scale: scan partitions are sized by bytes, so
+            # fewer-but-larger segment files only reduce footer overhead.
+            (
+                segments.repartitionByRange(
+                    max(1, partitions // 4), "term", "shard", "block_id"
+                )
+                .sortWithinPartitions("term", "shard", "block_id")
+                .write.mode("overwrite")
+                .option("compression", compression)
+                .parquet(seg_path)
+            )
+
+        def _dict_chain():
+            if not _done(dict_path):
+                _write_dict_from(segments)
+            _write_aux()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_seg_write),
+                pool.submit(_dict_chain),
+                pool.submit(lambda: _enc_agg(segments)),
+            ]
+            futs[0].result()
+            futs[1].result()
+            enc = futs[2].result()
         segments.unpersist()
-        stage_secs["segments"] = time.time() - ts
+        stage_secs["segments_finalize"] = time.time() - ts
     segments = spark.read.parquet(seg_path)
 
-    # stage 3: term_dict (vocabulary-sized)
+    # stage 3 (resume path): term_dict (vocabulary-sized) + aux tables from
+    # the written segments when stage 2 was already complete
     if not _done(dict_path):
         ts = time.time()
-        term_dict_from_segments(segments).repartitionByRange(
-            max(1, partitions // 8), "term"
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(dict_path)
+        _write_dict_from(segments)
         stage_secs["term_dict"] = time.time() - ts
-    # stage 3b: persisted typo index — (gram, term) vocabulary bigrams, the
-    # table Meilisearch precomputes for typo tolerance. Built ONCE here so
-    # fuzzy expansion is a pruned scan + join instead of re-exploding the
-    # whole term dictionary per query batch (at a 10^9-term web vocabulary
-    # that explode is a full-dictionary pass per batch). Range-partitioned on
-    # gram: the query side pushes gram IN (...) into the scan → file pruning.
-    bigrams_path = os.path.join(out_dir, "term_bigrams")
-    if not _done(bigrams_path):
-        ts = time.time()
-        write_term_bigrams(spark, dict_path, bigrams_path, max(1, partitions // 8))
-        stage_secs["term_bigrams"] = time.time() - ts
-
-    # stage 3c: SymSpell-style deletion-variant table — (delvar, term) for
-    # every variant reachable by deleting ≤ MAX_DELETES chars. Serves
-    # max_edits=2 fuzzy expansion WITHOUT any vocabulary scan: if
-    # lev(q, t) ≤ d then deleting ≤ d chars from each reaches a common
-    # string (each edit contributes at most one deletion per side), so
-    # candidates = delvar-equi-join of the two sides' deletion neighborhoods,
-    # then an exact levenshtein filter. The query side's neighborhood is
-    # driver-tiny; this table is the vocabulary side, precomputed once.
-    deletes_path = os.path.join(out_dir, "term_deletes")
-    if not _done(deletes_path):
-        ts = time.time()
-        write_term_deletes(spark, dict_path, deletes_path, max(1, partitions // 8))
-        stage_secs["term_deletes"] = time.time() - ts
+    ts = time.time()
+    _write_aux()
+    if time.time() - ts > 0.05:
+        stage_secs["term_aux"] = time.time() - ts
 
     # stage 4: manifest — per-file lineage + metrics (north_rule); the
     # grenad metadata footer (src/metadata.rs:105-115) of this index.
@@ -477,14 +553,8 @@ def _build_index_inner(
             for f in sorted(os.listdir(seg_path))
             if f.endswith(".parquet")
         ]
-        # authoritative dumped-bytes/postings totals (the live accumulators
-        # in LAST_BUILD_PROGRESS show the same numbers mid-build; a resumed
-        # build's accumulators would be partial, so the manifest recomputes
-        # from the written table — one column-pruned agg)
-        enc = segments.agg(
-            F.sum("n").cast("long").alias("p"),
-            F.sum(F.length("payload")).cast("long").alias("b"),
-        ).first()
+        if enc is None:
+            enc = _enc_agg(segments)
         manifest = {
             "format_version": CURRENT_FORMAT_VERSION,
             "built_at_unix": int(t0),

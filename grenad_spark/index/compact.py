@@ -340,6 +340,11 @@ def compact_indexes(
         rebuilt = build_segments(tdt, doc_space, n_shards, partitions, payload_codec=out_codec)
 
         segments = rebuilt.unionByName(copied) if copied is not None else rebuilt
+        # persist before the range write: repartitionByRange samples its
+        # child — unpersisted, the decode→join→re-encode pipeline runs twice
+        from pyspark.storagelevel import StorageLevel
+
+        segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
     os.makedirs(out_dir, exist_ok=True)
     seg_path = os.path.join(out_dir, "segments")
     (
@@ -348,6 +353,7 @@ def compact_indexes(
         .write.mode("overwrite")
         .parquet(seg_path)
     )
+    segments.unpersist()
     segments = spark.read.parquet(seg_path)
     term_dict_from_segments(segments).write.mode("overwrite").parquet(
         os.path.join(out_dir, "term_dict")
@@ -439,12 +445,18 @@ def compact_indexes(
             )
         )
         pos_all = prebuilt.unionByName(pcopied) if pcopied is not None else prebuilt
+        # persist: repartitionByRange samples pos_all — unpersisted, the
+        # position decode→join→re-encode pipeline would run twice
+        from pyspark.storagelevel import StorageLevel
+
+        pos_all = pos_all.persist(StorageLevel.MEMORY_AND_DISK)
         (
             pos_all.repartitionByRange(partitions, "term", "shard", "block_id")
             .sortWithinPartitions("term", "shard", "block_id")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "positions"))
         )
+        pos_all.unpersist()
 
     manifest = {
         "format_version": CURRENT_FORMAT_VERSION,

@@ -319,6 +319,12 @@ def build_positions(
             lambda it: _encode_positions_stream(it, payload_codec, block_size),
             POSITIONS_SCHEMA,
         )
+        # coalesce merges encode outputs into fewer, larger files WITHOUT an
+        # exchange (narrow dependency: each write task runs 4 encode
+        # partitions sequentially — group integrity comes from the
+        # repartition above, not the task count). Fewer files = less
+        # per-file open/footer overhead on every phrase/proximity scan.
+        .coalesce(max(1, partitions // 4))
         .write.mode("overwrite")
         .option("compression", compression)
         .parquet(out_path)

@@ -127,22 +127,39 @@ def build_prefix_postings(
         partitions=partitions, payload_codec=payload_codec,
         block_size=block_size,
     )
-    (
-        segments.repartitionByRange(
-            max(1, partitions // 4), "term", "shard", "block_id"
+    # persist before the range write: repartitionByRange samples its child —
+    # unpersisted, the whole prefix-explode pipeline would run twice; the
+    # dict agg shares the persisted rows and runs concurrently with the write
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.storagelevel import StorageLevel
+
+    segments = segments.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _write_blocks():
+        (
+            segments.repartitionByRange(
+                max(1, partitions // 4), "term", "shard", "block_id"
+            )
+            .sortWithinPartitions("term", "shard", "block_id")
+            .write.mode("overwrite").option("compression", compression)
+            .parquet(out_path)
         )
-        .sortWithinPartitions("term", "shard", "block_id")
-        .write.mode("overwrite").option("compression", compression)
-        .parquet(out_path)
-    )
-    seg_df = spark.read.parquet(out_path)
-    (
-        term_dict_from_segments(seg_df)
-        .withColumnRenamed("term", "prefix")
-        .coalesce(1)
-        .write.mode("overwrite").option("compression", compression)
-        .parquet(dict_path)
-    )
+
+    def _write_dict():
+        (
+            term_dict_from_segments(segments)
+            .withColumnRenamed("term", "prefix")
+            .coalesce(1)
+            .write.mode("overwrite").option("compression", compression)
+            .parquet(dict_path)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_blocks), pool.submit(_write_dict)]
+        for fut in futs:
+            fut.result()
+    segments.unpersist()
     manifest.setdefault("stage_seconds", {})["prefix_postings"] = round(
         time.time() - t0, 3
     )

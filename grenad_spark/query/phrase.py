@@ -60,6 +60,12 @@ def _positions_blocks(spark, index, n_docs, pairs, use_dfm: bool):
     terms = sorted({t for _, t, _ in pairs})
     pos_tbl = index.positions(spark).filter(F.col("term").isin(terms))
     if use_dfm:
+        if pairs:
+            # literal-map attach (no broadcast join) — see search.py
+            # _attach_query_terms for the measured ~0.2 s/job rationale
+            from grenad_spark.query.search import _attach_query_terms
+
+            return _attach_query_terms(pos_tbl, pairs)
         qt = spark.createDataFrame(pairs, "query_id int, term string, idf double")
         return pos_tbl.join(F.broadcast(qt), "term")
     qt = spark.createDataFrame(

@@ -553,6 +553,36 @@ def _query_blocks(
     return _query_blocks_from_pairs(spark, index, _tokenize_queries(queries))
 
 
+def _attach_query_terms(seg: DataFrame, rows: list[tuple[int, str, float]]) -> DataFrame:
+    """Fan block rows out per query and attach idf WITHOUT a join.
+
+    rows = driver-resolved (query_id, term, idf). Builds two literal-map
+    expressions — term → array<query_id> and term → idf — and applies them
+    as a map lookup + explode. Equivalent to the inner broadcast join on
+    term (NULL lookups are dropped by explode), but stays inside one
+    whole-stage-codegen stage: no broadcast exchange, no relation build,
+    no extra job. Literal size is bounded by the batch's distinct query
+    terms (tens of entries), so the plan stays small."""
+    qids: dict[str, list[int]] = {}
+    idfs: dict[str, float] = {}
+    for q, t, i in rows:
+        qids.setdefault(t, []).append(int(q))
+        idfs[t] = float(i)
+    qid_map = F.create_map(
+        *[
+            x
+            for t, qs in qids.items()
+            for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+        ]
+    )
+    idf_map = F.create_map(
+        *[x for t, i in idfs.items() for x in (F.lit(t), F.lit(i))]
+    )
+    return seg.withColumn("query_id", F.explode(qid_map[F.col("term")])).withColumn(
+        "idf", idf_map[F.col("term")]
+    )
+
+
 def _query_blocks_from_pairs(
     spark: SparkSession,
     index: IndexHandle,
@@ -579,6 +609,16 @@ def _query_blocks_from_pairs(
             for q, t in qt
             if t in dfm
         ]
+        if rows:
+            # (query_id, idf) attach via LITERAL MAP expressions instead of a
+            # broadcast hash join: building + shipping even a one-row
+            # broadcast relation costs ~0.2 s per job (measured — it was the
+            # single largest piece of single-query latency), while a literal
+            # map lookup + explode is pure whole-stage-codegen work on the
+            # already-pruned scan. Terms absent from the map yield NULL →
+            # explode drops the row, exactly like the inner join it replaces.
+            blocks = _attach_query_terms(seg, rows)
+            return blocks, None
         qterms = spark.createDataFrame(rows, "query_id int, term string, idf double")
         blocks = seg.join(F.broadcast(qterms), "term")
         return blocks, qterms
