@@ -81,35 +81,40 @@ def seek_gte_postings(spark, index, keys: list[tuple[int, str, int]]) -> DataFra
     reference's two-level descent: (1) block-index level — the unique block
     with last_doc >= target and minimal first_doc (blocks of a term are
     doc-disjoint ascending across shards); (2) in-block level — binary search
-    inside the decoded block. ONE Spark job for the whole batch: the pruned
-    block-index scan, a k-row window, and a tiny Arrow decode."""
+    inside the decoded block.
+
+    ONE Spark job, but the winner selection is a map-side-partial min_by
+    AGGREGATE instead of a window: the old plan's row_number() window
+    shuffled every candidate block row — payloads included (~half of every
+    query term's payload bytes for KBs of answers) — through the sort;
+    min_by keeps the payload inside the aggregation buffer, so each map
+    task reduces its partition to ≤ |seeks| winner rows and only WINNING
+    payloads cross the exchange. The in-block binary search then runs on
+    |seeks| rows in one tiny Arrow decode."""
     import numpy as np
     import pandas as pd
-
-    from pyspark.sql.window import Window
 
     from grenad_spark.functions.varbyte import decode_block, decompress_payload
 
     codec = index.payload_codec
-    kdf = spark.createDataFrame(keys, "seek_id int, term string, target long")
+    out_schema = "seek_id int, term string, doc_id long, tf int"
+    if not keys:
+        return spark.createDataFrame([], out_schema)
     terms = sorted({t for _, t, _ in keys})
     seg = index.segments(spark).filter(F.col("term").isin(terms))
-    cand = seg.join(F.broadcast(kdf), "term").filter(
-        F.col("last_doc") >= F.col("target")
+    kdf = spark.createDataFrame(keys, "seek_id int, term string, target long")
+    hit_blocks = (
+        seg.select("term", "first_doc", "last_doc", "payload")
+        .join(F.broadcast(kdf), "term")
+        .filter(F.col("last_doc") >= F.col("target"))
+        .groupBy("seek_id")
+        .agg(
+            F.min_by(
+                F.struct("term", "target", "payload"), F.col("first_doc")
+            ).alias("w")
+        )
+        .select("seek_id", "w.term", "w.target", "w.payload")
     )
-    if len(keys) == 1:
-        # single seek: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
-        # no window exchange (same trick as single-query search)
-        hit_blocks = cand.orderBy(F.asc("first_doc")).limit(1).select(
-            "seek_id", "term", "target", "payload"
-        )
-    else:
-        w = Window.partitionBy("seek_id").orderBy(F.asc("first_doc"))
-        hit_blocks = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("seek_id", "term", "target", "payload")
-        )
 
     def decode(batches):
         for pdf in batches:
@@ -125,7 +130,7 @@ def seek_gte_postings(spark, index, keys: list[tuple[int, str, int]]) -> DataFra
                 rows, columns=["seek_id", "term", "doc_id", "tf"]
             ).astype({"seek_id": "int32", "doc_id": "int64", "tf": "int32"})
 
-    return hit_blocks.mapInPandas(decode, "seek_id int, term string, doc_id long, tf int")
+    return hit_blocks.mapInPandas(decode, out_schema)
 
 
 def range_iter(
