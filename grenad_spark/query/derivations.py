@@ -221,6 +221,7 @@ def search_topk_word_splits(
         _OUT_SCHEMA,
         _driver_idf,
         _make_exhaustive_with_termcount,
+        _qshard_col,
         _query_blocks_from_pairs,
     )
 
@@ -233,7 +234,7 @@ def search_topk_word_splits(
         blocks, _ = _query_blocks_from_pairs(spark, index, word_pairs)
         word_scores = (
             blocks.select(
-                "query_id", "shard", "term", "idf", "n", "first_doc",
+                "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc",
                 "last_doc", "max_tf", "min_dl", "payload",
             )
             .groupBy("query_id", "shard")
@@ -259,7 +260,7 @@ def search_topk_word_splits(
         pblocks = _positions_blocks(spark, index, n_docs, ppairs, dfm is not None)
         split_scores = (
             pblocks.select(
-                "query_id", "shard", "term", "idf", "n", "first_doc",
+                "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc",
                 "header", "positions",
             )
             .groupBy("query_id", "shard")

@@ -50,7 +50,12 @@ from grenad_spark.index.positions import FIELD_BITS, POS_BITS
 from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS, sql_queries_values
 from grenad_spark.query.phrase import _positions_blocks
 from grenad_spark.query.ranked import _decode_groups, _member_mask, _require_fielded
-from grenad_spark.query.search import _driver_idf, _tfpart, _tokenize_queries
+from grenad_spark.query.search import (
+    _driver_idf,
+    _qshard_col,
+    _tfpart,
+    _tokenize_queries,
+)
 
 SEARCH_ON_QUERIES: list[tuple[int, str]] = [
     (1, "merge sort"),
@@ -151,7 +156,7 @@ def search_topk_search_on(
         return spark.createDataFrame([], _SEARCH_ON_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_search_on_kernel(allowed, float(index.avgdl), index.payload_codec),
         _SEARCH_ON_SCHEMA,
@@ -350,7 +355,7 @@ def search_topk_exact_field(
         return spark.createDataFrame([], "query_id int, doc_id long, exact int, score double")
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_exact_kernel(qterms, fid, float(index.avgdl), index.payload_codec),
         _EXACT_SCHEMA,
@@ -486,7 +491,7 @@ def search_topk_exact_tiers(
         return spark.createDataFrame([], "query_id int, doc_id long, tier int, score double")
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_exact_kernel(qterms, fid, float(index.avgdl), index.payload_codec),
         _EXACT_SCHEMA,
@@ -694,7 +699,7 @@ def search_topk_proximity_attr(
         return spark.createDataFrame([], _PROX_ATTR_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_prox_attr_kernel(qtoks, float(index.avgdl), index.payload_codec),
         _PROX_ATTR_SCHEMA,
@@ -930,7 +935,7 @@ def search_topk_typo_disable_attrs(
     ]
     blocks = _positions_blocks(spark, index, n_docs, tri, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_typo_attr_kernel(
             qslots, slot_meta, allowed, float(index.avgdl), index.payload_codec

@@ -74,6 +74,7 @@ def _scored_matches(spark, index, queries):
     from grenad_spark.query.search import (
         _make_exhaustive_with_termcount,
         _OUT_AND_SCHEMA,
+        _qshard_col,
         _query_blocks_from_pairs,
         _tokenize_queries,
     )
@@ -83,7 +84,7 @@ def _scored_matches(spark, index, queries):
         return None
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     return blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "last_doc",
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
     ).groupBy("query_id", "shard").applyInPandas(
         _make_exhaustive_with_termcount(float(index.avgdl), index.payload_codec),

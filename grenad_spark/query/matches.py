@@ -33,7 +33,7 @@ from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE, sql_term_doc_tf
 from grenad_spark.query.bm25 import B, K1, SCORE_DECIMALS, sql_queries_values
 from grenad_spark.query.phrase import _positions_blocks
 from grenad_spark.query.ranked import _decode_groups
-from grenad_spark.query.search import _driver_idf, _tokenize_queries
+from grenad_spark.query.search import _driver_idf, _qshard_col, _tokenize_queries
 
 MATCHES_QUERIES: list[tuple[int, str]] = [
     (1, "merge sort"),
@@ -129,7 +129,7 @@ def search_topk_matches(
         (F.col("first_doc") <= F.col("hi")) & (F.col("last_doc") >= F.col("lo"))
     )
     return blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_matches_kernel(hits, index.payload_codec), _OUT_SCHEMA
     )

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
 from grenad_spark.index.positions import POS_BITS, decode_position_blocks
 from grenad_spark.query.bm25 import SCORE_DECIMALS
-from grenad_spark.query.search import _driver_idf, _tfpart
+from grenad_spark.query.search import _driver_idf, _qshard_col, _tfpart
 
 _OUT_SCHEMA = "query_id int, doc_id long, score double"
 
@@ -178,7 +178,7 @@ def phrase_match_pairs(
     ]
     blocks = _positions_blocks(spark, index, n_docs, qt, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_phrase_kernel(phrases, float(index.avgdl), index.payload_codec),
         _OUT_SCHEMA,
@@ -256,7 +256,7 @@ def search_topk_phrase(
         )
         blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_phrase_kernel(phrases, avgdl, codec), _OUT_SCHEMA
     )
@@ -342,7 +342,7 @@ def search_topk_phrase_stopwords(
         return spark.createDataFrame([], _OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_phrase_kernel(chains, float(index.avgdl), index.payload_codec),
         _OUT_SCHEMA,
@@ -666,7 +666,7 @@ def search_topk_proximity(
         return spark.createDataFrame([], _PROX_OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_proximity_kernel(phrases, avgdl, codec), _PROX_OUT_SCHEMA
     )
@@ -1005,7 +1005,7 @@ def _mixed_per_shard(
         return None
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     return blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
     )
@@ -1225,7 +1225,7 @@ def search_topk_mixed_prefix(
         return spark.createDataFrame([], _OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
     )

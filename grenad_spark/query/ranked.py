@@ -59,6 +59,7 @@ from grenad_spark.query.phrase import _PROX_INF, _pair_min_dist, _positions_bloc
 from grenad_spark.query.search import (
     _driver_idf,
     _levenshtein,
+    _qshard_col,
     _tfpart,
     _tokenize_queries,
     expand_fuzzy_queries,
@@ -196,7 +197,7 @@ def search_topk_attr_rule(
         return spark.createDataFrame([], _ATTR_OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_attr_kernel(qterms, float(index.avgdl), index.payload_codec),
         _ATTR_OUT_SCHEMA,
@@ -373,7 +374,7 @@ def _ranked_stats(
         return spark.createDataFrame([], _RANKED_OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
-        "query_id", "shard", "term", "idf", "n", "first_doc", "header", "positions"
+        "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).groupBy("query_id", "shard").applyInPandas(
         _make_ranked_kernel(qslots, slot_meta, float(index.avgdl), index.payload_codec),
         _RANKED_OUT_SCHEMA,
