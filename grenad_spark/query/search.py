@@ -48,12 +48,32 @@ def _driver_idf(n_docs: float, df: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _qshard_params(spark: SparkSession, index: IndexHandle) -> tuple[int, int]:
+# Scoring-group sizing target: postings per (qshard) group. The vectorized
+# kernels decode ~1M postings in tens of ms, while every extra group pays a
+# fixed Arrow→pandas→Python round trip (~15-20 ms measured); sizing groups
+# by WORK instead of core count makes the plan scale-adaptive (guide §2):
+# a single 1.5M-posting query runs in 1-2 groups (sweep: 16 groups = 373 ms,
+# 1 group = 249 ms locally), a 64-query zipf batch or a cluster-sized index
+# still saturates parallelism because the estimate grows with Σ df.
+TARGET_GROUP_POSTINGS = 1_000_000
+
+
+def _qshard_params(
+    spark: SparkSession, index: IndexHandle, est_postings: int | None = None
+) -> tuple[int, int]:
     """(g, n_qshards): how many consecutive doc-disjoint build shards merge
-    into one scoring group, sized to the session's core count."""
+    into one scoring group. Default (no estimate) sizes groups to the
+    session's core count; with an estimated posting volume (driver df map —
+    Σ df over the batch's query-term pairs) groups are sized to
+    TARGET_GROUP_POSTINGS each, capped at the core count: fewer Python
+    round trips for small batches, unchanged parallelism for large ones."""
     par = max(1, spark.sparkContext.defaultParallelism)
-    g = max(1, -(-max(1, index.n_shards) // par))
-    return g, -(-max(1, index.n_shards) // g)
+    n_shards = max(1, index.n_shards)
+    if est_postings is not None:
+        desired = -(-max(1, int(est_postings)) // TARGET_GROUP_POSTINGS)
+        par = max(1, min(par, desired))
+    g = max(1, -(-n_shards // par))
+    return g, -(-n_shards // g)
 
 
 def _qshard_col(spark: SparkSession, index: "IndexHandle"):
@@ -708,8 +728,24 @@ def _overlap_mask(t: dict, sur_starts: np.ndarray, sur_ends: np.ndarray) -> np.n
     )
 
 
+def _est_postings(
+    spark: SparkSession, index: IndexHandle, pairs: list[tuple[int, str]]
+) -> int | None:
+    """Σ df over the batch's (query, term) pairs from the driver df map —
+    the posting volume the scoring exchange will carry (each pair ships its
+    term's blocks once per referencing query). None on huge vocabularies
+    (no df map) — callers then fall back to core-count-sized groups."""
+    dfm = index.df_map(spark)
+    if dfm is None:
+        return None
+    return sum(dfm.get(t, 0) for _, t in pairs)
+
+
 def _group_params(
-    spark: SparkSession, index: IndexHandle, n_queries: int
+    spark: SparkSession,
+    index: IndexHandle,
+    n_queries: int,
+    est_postings: int | None = None,
 ) -> tuple[int, int, int]:
     """(g, n_groups, n_qshards) for the scoring shuffle.
 
@@ -724,7 +760,7 @@ def _group_params(
     task-scheduling overhead. HashPartitioning(query_id, qshard) satisfies
     applyInPandas's clustering requirement, so Catalyst inserts NO second
     exchange."""
-    g, n_qshards = _qshard_params(spark, index)
+    g, n_qshards = _qshard_params(spark, index, est_postings)
     n_groups = max(1, min(
         max(1, spark.sparkContext.defaultParallelism), n_queries * n_qshards
     ))
@@ -800,7 +836,9 @@ def _search_from_pairs(
         raise ValueError(f"unknown mode {mode!r}")
 
     n_queries = len({q for q, _ in pairs})
-    g, n_groups, n_qshards = _group_params(spark, index, n_queries)
+    g, n_groups, n_qshards = _group_params(
+        spark, index, n_queries, _est_postings(spark, index, pairs)
+    )
     per_shard = blocks.select(
         "query_id",
         (F.col("shard") / g).cast("int").alias("qshard"),
@@ -859,7 +897,9 @@ def _search_pruned(
     avgdl = float(index.avgdl)
     codec = index.payload_codec
     n_queries = len({q for q, _ in pairs})
-    g, n_groups, _ = _group_params(spark, index, n_queries)
+    g, n_groups, n_qshards = _group_params(
+        spark, index, n_queries, _est_postings(spark, index, pairs)
+    )
 
     # explicit broadcast: the survivor list is the small side BY DESIGN
     # (pruning selected it); relying on AQE instead costs stage
@@ -872,7 +912,6 @@ def _search_pruned(
     survivors = F.broadcast(survivors)
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
-    _, _, n_qshards = _group_params(spark, index, n_queries)
     per_shard = pruned.select(
         "query_id",
         (F.col("shard") / g).cast("int").alias("qshard"),
@@ -1478,7 +1517,7 @@ def search_topk_shared(
     if not terms:
         return spark.createDataFrame([], _OUT_SCHEMA)
 
-    g, n_qshards = _qshard_params(spark, index)
+    g, n_qshards = _qshard_params(spark, index, _est_postings(spark, index, pairs))
 
     seg = index.segments(spark).filter(F.col("term").isin(terms))
     if prune and "min_tf" in seg.columns:
