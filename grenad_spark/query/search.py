@@ -955,7 +955,9 @@ def survivor_blocks(
     back to pure metadata without it."""
     avgdl = float(index.avgdl)
     n_queries = len({q for q, _ in pairs})
-    g, n_groups, n_qshards = _group_params(spark, index, n_queries)
+    g, n_groups, n_qshards = _group_params(
+        spark, index, n_queries, _est_postings(spark, index, pairs)
+    )
     dfm = index.df_map(spark)
     sparse = {
         t for _, t in pairs if dfm is not None and dfm.get(t, 1 << 62) <= sparse_df_max
