@@ -839,14 +839,20 @@ def _search_from_pairs(
     g, n_groups, n_qshards = _group_params(
         spark, index, n_queries, _est_postings(spark, index, pairs)
     )
-    per_shard = blocks.select(
+    sel = blocks.select(
         "query_id",
         (F.col("shard") / g).cast("int").alias("qshard"),
         "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).repartition(min(n_groups, n_qshards), "qshard").groupBy(
-        "qshard"
-    ).applyInPandas(_make_per_query(apply_fn), _OUT_SCHEMA)
+    )
+    n_part = min(n_groups, n_qshards)
+    # single scoring group (work-sized, see _qshard_params): coalesce is a
+    # narrow merge and SinglePartition satisfies the groupBy clustering, so
+    # the whole query runs in ONE stage — no exchange at all
+    part = sel.coalesce(1) if n_part == 1 else sel.repartition(n_part, "qshard")
+    per_shard = part.groupBy("qshard").applyInPandas(
+        _make_per_query(apply_fn), _OUT_SCHEMA
+    )
     return _rank_topk(per_shard, n_queries, kk)
 
 
@@ -1579,9 +1585,12 @@ def search_topk_shared(
             return _empty_out()
         return pd.concat(outs, ignore_index=True)
 
-    per_shard = blocks.repartition(n_qshards, "qshard").groupBy("qshard").applyInPandas(
-        fn, _OUT_SCHEMA
+    # single work-sized group: narrow coalesce, no exchange (SinglePartition
+    # satisfies the groupBy clustering) — same trick as _search_from_pairs
+    part = blocks.coalesce(1) if n_qshards == 1 else blocks.repartition(
+        n_qshards, "qshard"
     )
+    per_shard = part.groupBy("qshard").applyInPandas(fn, _OUT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
