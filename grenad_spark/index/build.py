@@ -369,10 +369,16 @@ def _build_index_inner(
         ts = time.time()
         from grenad_spark.index.stats import doc_lengths
 
-        # no repartition: writing with the scan's partitioning keeps the
-        # tokenize AND the write parallel (an exchange to few partitions made
-        # this stage serialize on 8 writer tasks)
-        doc_lengths(docs, tokens_fn=tokens_fn).write.mode("overwrite").parquet(docs_path)
+        # no repartition (an exchange to few partitions made this stage
+        # serialize on 8 writer tasks), but a narrow coalesce to
+        # partitions//4 files: the tokenize still runs on every core (tasks
+        # just process several scan partitions each) while the write emits
+        # 4x fewer files — the docs table is re-scanned by corpus_stats and
+        # every sorted/distinct-attribute serving join, which pay per-file
+        # open cost (guide §6)
+        doc_lengths(docs, tokens_fn=tokens_fn).coalesce(
+            max(1, partitions // 4)
+        ).write.mode("overwrite").parquet(docs_path)
         stage_secs["docs"] = time.time() - ts
 
     # stage 2: corpus stats — trivial agg over the docs table (no re-tokenize)
