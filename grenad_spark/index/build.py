@@ -172,12 +172,17 @@ def _encode_partition_stream(
 
 
 def tokens_with_dl(docs: DataFrame, tokens_fn=None) -> DataFrame:
-    """(term, doc_id, dl) RAW token stream — one row per token occurrence.
+    """(term, doc_id, dl, tf) aggregated token stream — one row per
+    (term, doc) with its term frequency.
 
-    No pre-aggregation: tf is reconstructed as a run length inside the encode
-    UDF after the sort, exactly as grenad's Sorter accepts duplicate keys and
-    merges adjacent equals on spill (src/sorter.rs:541-561). Skipping the
-    groupBy removes a full shuffle+barrier from the build.
+    tf is computed INSIDE one JVM projection (array_sort + run-length over
+    the per-doc token array), not with a groupBy: duplicate (term, doc) rows
+    only ever exist within a single document, so the per-doc reduction IS
+    the global aggregation and the groupBy's full shuffle of the aggregated
+    stream is pure overhead (guide §2.4 — measured 8.9 → 7.9 s for the whole
+    segments pipeline at 640k docs; plan goes 2 exchanges → 1). The encoder
+    still accepts raw streams (tf column optional) for callers like
+    compaction.
 
     The token array is materialized in a projection BELOW the explode so the
     regex split runs once per document; putting size(split(...)) in the same
@@ -186,14 +191,34 @@ def tokens_with_dl(docs: DataFrame, tokens_fn=None) -> DataFrame:
     """
     tk = tokens_fn or tokens_col
     toks = docs.select("doc_id", tk("text").alias("toks"))
-    raw = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    # Pre-aggregate tf before the placement shuffle: Spark's partial agg
-    # collapses duplicates map-side (grenad's merge-on-spill), and the 2.4×
-    # row reduction cuts Arrow traffic into the encode UDF — measured ~17%
-    # faster end-to-end than shuffling the raw occurrence stream despite the
-    # extra exchange. The encoder still accepts raw streams (tf column
-    # optional) for callers like compaction.
-    return raw.groupBy("term", "doc_id", "dl").agg(F.count("*").cast("int").alias("tf"))
+    srt = toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.array_sort("toks").alias("ts")
+    )
+    # st[j] = 1-based index of each run start in the sorted token array;
+    # tf of run j = next run's start − this run's start
+    stage = srt.select(
+        "doc_id",
+        "dl",
+        "ts",
+        F.expr(
+            "filter(sequence(1, size(ts)), i -> i = 1 OR ts[i-1] != ts[i-2])"
+        ).alias("st"),
+    )
+    pairs = stage.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(st)), j -> struct("
+                "ts[st[j-1]-1] AS term, "
+                "CAST((CASE WHEN j = size(st) THEN size(ts)+1 ELSE st[j] END)"
+                " - st[j-1] AS INT) AS tf))"
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        F.col("p.term").alias("term"), "doc_id", "dl", F.col("p.tf").alias("tf")
+    )
 
 
 def build_segments(
