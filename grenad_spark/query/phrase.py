@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from grenad_spark.functions.tokenize import TOKEN_SPLIT_RE
 from grenad_spark.index.positions import POS_BITS, decode_position_blocks
 from grenad_spark.query.bm25 import SCORE_DECIMALS
-from grenad_spark.query.search import _driver_idf, _qshard_col, _tfpart
+from grenad_spark.query.search import _grouped_apply, _driver_idf, _qshard_col, _tfpart
 
 _OUT_SCHEMA = "query_id int, doc_id long, score double"
 
@@ -179,10 +179,10 @@ def phrase_match_pairs(
     blocks = _positions_blocks(spark, index, n_docs, qt, dfm is not None)
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_phrase_kernel(phrases, float(index.avgdl), index.payload_codec),
         _OUT_SCHEMA,
-    )
+    ))
     return per_shard.select("query_id", "doc_id")
 
 
@@ -257,9 +257,9 @@ def search_topk_phrase(
         blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_phrase_kernel(phrases, avgdl, codec), _OUT_SCHEMA
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
@@ -343,10 +343,10 @@ def search_topk_phrase_stopwords(
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_phrase_kernel(chains, float(index.avgdl), index.payload_codec),
         _OUT_SCHEMA,
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
@@ -667,9 +667,9 @@ def search_topk_proximity(
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_proximity_kernel(phrases, avgdl, codec), _PROX_OUT_SCHEMA
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("proximity"), F.desc("score"), F.asc("doc_id")
     )
@@ -1006,9 +1006,9 @@ def _mixed_per_shard(
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     return blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
-    )
+    ))
 
 
 def search_topk_mixed(
@@ -1226,9 +1226,9 @@ def search_topk_mixed_prefix(
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_mixed_kernel(parsed, avgdl, codec), _OUT_SCHEMA
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))

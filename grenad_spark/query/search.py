@@ -398,9 +398,9 @@ def conjunctive_matches(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-    )
+    ))
     return (
         per_shard.join(F.broadcast(nt), "query_id")
         .filter(F.col("hit_terms") == F.col("n_terms"))
@@ -445,9 +445,9 @@ def search_topk_words(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("hit_terms"), F.desc("score"), F.asc("doc_id")
     )
@@ -812,6 +812,77 @@ def _make_per_query(apply_fn):
     return fn
 
 
+def _grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn,
+    out_schema: str,
+    n_part: int | None = None,
+    slice_groups: bool = True,
+) -> DataFrame:
+    """groupBy(*keys).applyInPandas(fn, out_schema), built on mapInPandas.
+
+    Spark's grouped-map Arrow protocol costs ~125 ms/job more than the plain
+    map protocol on identical data (measured on a one-partition single-query
+    plan: identity applyInPandas 430 ms vs identity mapInPandas 305 ms — the
+    pandas conversion itself is NOT the cost). This helper keeps the exact
+    per-group semantics: hash-repartition on the keys (coalesce(1) when one
+    group — a narrow merge, no exchange), concatenate each partition's Arrow
+    batches, slice per distinct key combination (stable lexsort + boundary
+    scan), and call `fn` once per slice — the same (columns incl. keys,
+    multiset of rows) every applyInPandas group saw.
+
+    slice_groups=False skips the per-key slicing and hands `fn` the whole
+    concatenated partition in one call. Only valid for kernels that (a) do
+    their own per-query slicing internally and (b) treat their input as an
+    arbitrary doc-disjoint slice of the index — true for the qshard-keyed
+    scoring/prune kernels (qshards are doc-range disjoint, so a partition
+    holding several of them is just a coarser qshard). Merging gives the
+    kernel a wider pruning scope and fewer Python invocations — measured
+    another ~15% off a 12-query wand batch vs per-qshard slices.
+
+    Memory: a task holds its whole partition instead of one group at a time;
+    inputs here are query-term block rows whose volume per partition is
+    bounded by (batch posting volume) / n_part — the same sizing rule
+    (_qshard_params) that bounded per-group memory before."""
+    if n_part is None:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = df.coalesce(1) if n_part == 1 else df.repartition(n_part, *keys)
+
+    def mfn(batches):
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        if not slice_groups:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+            return
+        arrs = [pdf[c].to_numpy() for c in keys]
+        order = np.lexsort(arrs[::-1])
+        pdf = pdf.take(order)
+        arrs = [a[order] for a in arrs]
+        if len(pdf) > 1:
+            change = np.zeros(len(pdf) - 1, dtype=bool)
+            for a in arrs:
+                change |= a[1:] != a[:-1]
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1, [len(pdf)]))
+        else:
+            starts = np.array([0, len(pdf)])
+        outs = []
+        for i in range(starts.size - 1):
+            out = fn(pdf.iloc[int(starts[i]) : int(starts[i + 1])])
+            if out is not None and len(out):
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return part.mapInPandas(mfn, out_schema)
+
+
 def _search_from_pairs(
     spark: SparkSession,
     index: IndexHandle,
@@ -846,12 +917,12 @@ def _search_from_pairs(
         "max_tf", "min_dl", "payload",
     )
     n_part = min(n_groups, n_qshards)
-    # single scoring group (work-sized, see _qshard_params): coalesce is a
-    # narrow merge and SinglePartition satisfies the groupBy clustering, so
-    # the whole query runs in ONE stage — no exchange at all
-    part = sel.coalesce(1) if n_part == 1 else sel.repartition(n_part, "qshard")
-    per_shard = part.groupBy("qshard").applyInPandas(
-        _make_per_query(apply_fn), _OUT_SCHEMA
+    # _grouped_apply: map-protocol kernel dispatch (~125 ms/job cheaper than
+    # grouped applyInPandas); at n_part == 1 the narrow coalesce keeps the
+    # whole query in ONE stage — no exchange at all
+    per_shard = _grouped_apply(
+        sel, ["qshard"], _make_per_query(apply_fn), _OUT_SCHEMA, n_part,
+        slice_groups=False,
     )
     return _rank_topk(per_shard, n_queries, kk)
 
@@ -918,15 +989,18 @@ def _search_pruned(
     survivors = F.broadcast(survivors)
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
-    per_shard = pruned.select(
-        "query_id",
-        (F.col("shard") / g).cast("int").alias("qshard"),
-        "term", "idf", "n", "first_doc", "last_doc",
-        "max_tf", "min_dl", "payload",
-    ).repartition(min(n_groups, n_qshards), "qshard").groupBy(
-        "qshard"
-    ).applyInPandas(
-        _make_per_query(_make_wand_batched(avgdl, kk, codec)), _OUT_SCHEMA
+    per_shard = _grouped_apply(
+        pruned.select(
+            "query_id",
+            (F.col("shard") / g).cast("int").alias("qshard"),
+            "term", "idf", "n", "first_doc", "last_doc",
+            "max_tf", "min_dl", "payload",
+        ),
+        ["qshard"],
+        _make_per_query(_make_wand_batched(avgdl, kk, codec)),
+        _OUT_SCHEMA,
+        min(n_groups, n_qshards),
+        slice_groups=False,
     )
     return _rank_topk(per_shard, n_queries, kk)
 
@@ -986,18 +1060,18 @@ def survivor_blocks(
     # would pay ~batch_size× more pandas group overhead than compute —
     # measured 3× wall-clock on a 64-query batch. Metadata volume per qshard
     # group is (batch's query-term blocks)/n_qshards — small by construction.
-    return (
+    return _grouped_apply(
         meta.select(
             "query_id",
             (F.col("shard") / g).cast("int").alias("qshard"),
             "term", "shard", "block_id", "idf", "n", "first_doc", "last_doc",
             "max_tf", "min_dl", "min_tf", "max_dl", "payload",
-        )
-        .repartition(min(n_groups, n_qshards), "qshard")
-        .groupBy("qshard")
-        .applyInPandas(
-            _make_meta_prune(avgdl, int(k), index.payload_codec), _SURVIVOR_SCHEMA
-        )
+        ),
+        ["qshard"],
+        _make_meta_prune(avgdl, int(k), index.payload_codec),
+        _SURVIVOR_SCHEMA,
+        min(n_groups, n_qshards),
+        slice_groups=False,
     )
 
 
@@ -1585,12 +1659,11 @@ def search_topk_shared(
             return _empty_out()
         return pd.concat(outs, ignore_index=True)
 
-    # single work-sized group: narrow coalesce, no exchange (SinglePartition
-    # satisfies the groupBy clustering) — same trick as _search_from_pairs
-    part = blocks.coalesce(1) if n_qshards == 1 else blocks.repartition(
-        n_qshards, "qshard"
+    # single work-sized group: narrow coalesce, no exchange — same trick as
+    # _search_from_pairs; map-protocol dispatch via _grouped_apply
+    per_shard = _grouped_apply(
+        blocks, ["qshard"], fn, _OUT_SCHEMA, n_qshards, slice_groups=False
     )
-    per_shard = part.groupBy("qshard").applyInPandas(fn, _OUT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_shard.withColumn("score", F.round("score", SCORE_DECIMALS))
@@ -1644,6 +1717,17 @@ def _make_exhaustive(avgdl: float, k: int, codec: str = "none"):
             return _empty_out()
         docs = np.concatenate(doc_parts)
         scores = np.concatenate(score_parts)
+        # dense scatter when the group's doc range is bounded (same guard and
+        # same input-order accumulation as the WAND kernel — bit-identical
+        # sums); a sparse group over a huge doc range falls back to the
+        # O(n log n) unique merge
+        lo = int(docs.min())
+        width = int(docs.max()) - lo + 1
+        if width <= max(65536, 8 * docs.size):
+            dense = np.zeros(width)
+            np.add.at(dense, docs - lo, scores)
+            cand = np.flatnonzero(dense > 0.0)
+            return _topk_rows(qid, cand.astype(np.int64) + lo, dense[cand], k)
         uniq, inv = np.unique(docs, return_inverse=True)
         agg = np.zeros(uniq.size)
         np.add.at(agg, inv, scores)
@@ -2137,9 +2221,9 @@ def search_topk_fuzzy_ranked(
     codec = index.payload_codec
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "payload"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_typo_ranked_kernel(slot_meta, avgdl, codec), _OUT_TYPO_SCHEMA
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("hit_terms"), F.asc("typos"), F.desc("score"), F.asc("doc_id")
     )
@@ -2178,10 +2262,10 @@ def search_topk_page(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(float(index.avgdl), index.payload_codec),
         _OUT_AND_SCHEMA,
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cw = Window.partitionBy("query_id")
     return (
@@ -2356,12 +2440,12 @@ def search_topk_typo_settings(
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "payload"
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_typo_ranked_kernel(
             slot_meta, float(index.avgdl), index.payload_codec
         ),
         _OUT_TYPO_SCHEMA,
-    )
+    ))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("hit_terms"), F.asc("typos"), F.desc("score"), F.asc("doc_id")
     )
@@ -2397,10 +2481,10 @@ def search_topk_filtered(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(float(index.avgdl), index.payload_codec),
         _OUT_AND_SCHEMA,
-    )
+    ))
     allowed = docs.filter(F.expr(filter_sql)).select("doc_id")
     j = per_shard.join(allowed, "doc_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2614,17 +2698,17 @@ def search_topk_negative(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-    )
+    ))
     if neg_pairs:
         nblocks, _ = _query_blocks_from_pairs(spark, index, neg_pairs)
         excluded = nblocks.select(
             "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
             "max_tf", "min_dl", "payload",
-        ).groupBy("query_id", "shard").applyInPandas(
+        ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
             _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-        ).select("query_id", "doc_id")
+        )).select("query_id", "doc_id")
         per_shard = per_shard.join(excluded, ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -2746,9 +2830,9 @@ def search_topk_negative_phrases(
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-    )
+    ))
     exclusions: list[DataFrame] = []
     if neg_pairs:
         nblocks, _ = _query_blocks_from_pairs(spark, index, neg_pairs)
@@ -2756,9 +2840,9 @@ def search_topk_negative_phrases(
             nblocks.select(
                 "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc",
                 "last_doc", "max_tf", "min_dl", "payload",
-            ).groupBy("query_id", "shard").applyInPandas(
+            ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
                 _make_exhaustive_with_termcount(avgdl, codec), _OUT_AND_SCHEMA
-            ).select("query_id", "doc_id")
+            )).select("query_id", "doc_id")
         )
     if ph_pairs:
         # phrase ids collide across queries only if the same qid repeats a
@@ -2944,10 +3028,10 @@ def _matched_prefix_topk(
     matches = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "last_doc",
         "max_tf", "min_dl", "payload",
-    ).groupBy("query_id", "shard").applyInPandas(
+    ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 
         _make_term_match_rows(float(index.avgdl), index.payload_codec),
         _TERM_MATCH_SCHEMA,
-    )
+    ))
     slot_df = spark.createDataFrame(slot_rows, "query_id int, term string, slot int")
     scores = matches.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
     slots = (
