@@ -1008,3 +1008,34 @@ class IndexHandle:
             else:
                 self._df_map = None
         return self._df_map
+
+    # term → shard-set presence map (the df_map pattern one level deeper):
+    # lets shard-level pruning (phrase prune_shards) run as pure driver set
+    # intersection instead of a census job per batch. Entry count is
+    # Σ_terms |shards(term)| ≤ n_terms × n_shards — gated so web-scale
+    # vocabularies fall back to the distributed census.
+    TERM_SHARDS_MAX_ENTRIES = 8_000_000
+
+    def term_shards(self, spark: SparkSession) -> dict | None:
+        if not hasattr(self, "_term_shards"):
+            n_terms = self.manifest.get("n_terms")
+            if n_terms is None:
+                n_terms = self.term_dict(spark).count()
+            if (
+                n_terms <= self.IDF_MAP_MAX_TERMS
+                and n_terms * max(1, int(self.n_shards))
+                <= self.TERM_SHARDS_MAX_ENTRIES
+            ):
+                rows = (
+                    self.segments(spark)
+                    .select("term", "shard")
+                    .distinct()
+                    .collect()
+                )
+                m: dict[str, set] = {}
+                for r in rows:
+                    m.setdefault(r["term"], set()).add(int(r["shard"]))
+                self._term_shards = m
+            else:
+                self._term_shards = None
+        return self._term_shards

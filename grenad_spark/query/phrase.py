@@ -238,23 +238,86 @@ def search_topk_phrase(
         return spark.createDataFrame([], _OUT_SCHEMA)
     blocks = _positions_blocks(spark, index, n_docs, pairs, dfm is not None)
     if prune_shards:
-        nt = spark.createDataFrame(
-            [
-                (qid, len({t for q, t, _ in pairs if q == qid}))
-                for qid in sorted({q for q, _, _ in pairs})
-            ],
-            "query_id int, nt int",
-        )
-        survivors = (
-            blocks.select("query_id", "shard", "term")
-            .distinct()
-            .groupBy("query_id", "shard")
-            .agg(F.countDistinct("term").alias("ct"))
-            .join(F.broadcast(nt), "query_id")
-            .filter(F.col("ct") == F.col("nt"))
-            .select("query_id", "shard")
-        )
-        blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
+        terms_by_q: dict[int, set] = {}
+        for q, t, _ in pairs:
+            terms_by_q.setdefault(q, set()).add(t)
+        tsm = index.term_shards(spark)
+        surv: list[tuple[int, int]] | None = None
+        attach_noop = False
+        if tsm is not None:
+            # driver-held {term → shard set} map (the df_map pattern): the
+            # per-query survivor set is a pure set intersection — NO census
+            # job at all (the distributed census + collect cost ~0.4 s per
+            # batch). Candidate groups are the union; when intersection ==
+            # union for every query, pruning is a no-op and the attach is
+            # skipped outright (the uniform-corpus case).
+            surv = []
+            attach_noop = True
+            for qid, toks in sorted(terms_by_q.items()):
+                sets = [tsm.get(t, set()) for t in toks]
+                inter = set.intersection(*sets) if sets else set()
+                surv.extend((qid, s) for s in sorted(inter))
+                if attach_noop and len(inter) != len(set().union(*sets)):
+                    attach_noop = False
+        elif len(terms_by_q) * int(index.n_shards) <= 200_000:
+            # no driver map (web-scale vocabulary): candidate-group census
+            # in ONE metadata job (no .distinct() pre-pass — countDistinct's
+            # partial agg already dedups map-side), collected so the attach
+            # can still adapt to what pruning found
+            grows = (
+                blocks.select("query_id", "shard", "term")
+                .groupBy("query_id", "shard")
+                .agg(F.countDistinct("term").alias("ct"))
+                .collect()
+            )
+            surv = [
+                (int(r["query_id"]), int(r["shard"]))
+                for r in grows
+                if int(r["ct"]) == len(terms_by_q[int(r["query_id"])])
+            ]
+            attach_noop = len(surv) == len(grows)
+        if surv is not None:
+            if not surv:
+                return spark.createDataFrame([], _OUT_SCHEMA)
+            if attach_noop:
+                pass  # every candidate group survives — serve unpruned
+            elif len(surv) <= 4096:
+                # small survivor set → push it back as ONE SQL IN literal
+                # (packed key → hashed InSet, O(1)/row; a literal MAP here
+                # measured 4× slower — map literals re-evaluate per row, and
+                # Column.isin(list) pays one py4j round trip per element).
+                # The shard-only IN conjunct is added when it shrinks the
+                # shard set: that one reaches the parquet scan as a pushed
+                # filter and skips files/row groups on localized corpora.
+                keys = sorted(q * (1 << 20) + s for q, s in surv)
+                blocks = blocks.filter(
+                    F.expr(
+                        "CAST(query_id AS BIGINT) * 1048576 + shard IN "
+                        f"({','.join(map(str, keys))})"
+                    )
+                )
+                all_shards = sorted({s for _, s in surv})
+                if len(all_shards) < int(index.n_shards):
+                    blocks = blocks.filter(
+                        F.expr(f"shard IN ({','.join(map(str, all_shards))})")
+                    )
+            else:
+                sdf = spark.createDataFrame(surv, "query_id int, shard int")
+                blocks = blocks.join(F.broadcast(sdf), ["query_id", "shard"])
+        else:
+            nt = spark.createDataFrame(
+                [(q, len(ts)) for q, ts in sorted(terms_by_q.items())],
+                "query_id int, nt int",
+            )
+            survivors = (
+                blocks.select("query_id", "shard", "term")
+                .groupBy("query_id", "shard")
+                .agg(F.countDistinct("term").alias("ct"))
+                .join(F.broadcast(nt), "query_id")
+                .filter(F.col("ct") == F.col("nt"))
+                .select("query_id", "shard")
+            )
+            blocks = blocks.join(F.broadcast(survivors), ["query_id", "shard"])
     per_shard = blocks.select(
         "query_id", _qshard_col(spark, index), "term", "idf", "n", "first_doc", "header", "positions"
     ).transform(lambda _d: _grouped_apply(_d, ["query_id", "shard"], 

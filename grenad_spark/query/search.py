@@ -215,6 +215,23 @@ def expand_fuzzy_queries(
     from grenad_spark.functions.tokenize import char_bigrams
 
     qt = _tokenize_queries(queries)
+    # ONE-edit expansion against a driver-held vocabulary (df_map, the
+    # vocab-gated fast path): the 1-edit neighborhood over the tokenizer
+    # alphabet IS the exact lev≤1 string set (vocab terms only contain
+    # [a-z0-9]), so generate-and-test against the dict replaces the
+    # bigram-join Spark job entirely — ~600 hash lookups per query term,
+    # zero jobs. Huge vocabularies (no df map) keep the distributed path.
+    if max_edits == 1:
+        dfm = index.df_map(spark)
+        if dfm is not None:
+            return sorted(
+                {
+                    (q, v)
+                    for q, t in qt
+                    for v in _edit1_neighborhood(t)
+                    if v in dfm
+                }
+            )
     if max_edits == 2:
         deletes = index.term_deletes(spark)
         if deletes is not None:
@@ -1039,6 +1056,51 @@ def survivor_blocks(
         spark, index, n_queries, _est_postings(spark, index, pairs)
     )
     dfm = index.df_map(spark)
+    if dfm is not None:
+        # DISTINCT-BLOCK pass 1: resolve the query structure driver-side
+        # (terms per query + idf per term) and ship each block's metadata
+        # once — the per-query fan-out would multiply the exchange by the
+        # number of referencing queries (64× for the zipf batch's common
+        # terms). The kernel rebuilds per-query views and runs the same
+        # _prune_query_entries math as the fanned-out path.
+        terms_by_q: dict[int, list[str]] = {}
+        for q, t in pairs:
+            if t in dfm:
+                terms_by_q.setdefault(q, []).append(t)
+        all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+        if not all_terms:
+            return spark.createDataFrame([], _SURVIVOR_SCHEMA)
+        n_docs = float(index.n_docs)
+        idfs = {t: _driver_idf(n_docs, dfm[t]) for t in all_terms}
+        sparse_terms = sorted(t for t in all_terms if dfm[t] <= sparse_df_max)
+        dense_terms = sorted(t for t in all_terms if dfm[t] > sparse_df_max)
+        seg = index.segments(spark)
+        meta = None
+        if dense_terms:
+            meta = (
+                seg.filter(F.col("term").isin(dense_terms))
+                .select(*_META_COLS)
+                .withColumn("payload", F.lit(None).cast("binary"))
+            )
+        if sparse_terms:
+            ms = seg.filter(F.col("term").isin(sparse_terms)).select(
+                *_META_COLS, "payload"
+            )
+            meta = ms if meta is None else meta.unionByName(ms)
+        return _grouped_apply(
+            meta.select(
+                (F.col("shard") / g).cast("int").alias("qshard"),
+                *_META_COLS,
+                "payload",
+            ),
+            ["qshard"],
+            _make_meta_prune_shared(
+                terms_by_q, idfs, avgdl, int(k), index.payload_codec
+            ),
+            _SURVIVOR_SCHEMA,
+            min(n_groups, n_qshards),
+            slice_groups=False,
+        )
     sparse = {
         t for _, t in pairs if dfm is not None and dfm.get(t, 1 << 62) <= sparse_df_max
     }
@@ -1176,6 +1238,105 @@ def _make_meta_prune(avgdl: float, k: int, codec: str = "none"):
     return fn
 
 
+def _make_meta_prune_shared(
+    terms_by_q: dict[int, list[str]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    codec: str = "none",
+):
+    """Pass-1 kernel over DISTINCT block rows (no per-query fan-out): the
+    exchange ships each block's metadata ONCE (≈ |blocks| rows instead of
+    |queries| × |blocks| — 64× less on the zipf batch, where two common
+    terms appear in every query), and the per-query views are reconstructed
+    here from the driver-known query structure, exactly like the
+    shared-decode scorer. Per-term entries (incl. the sparse decode) are
+    built once per partition and shared across every query that uses the
+    term; the per-query θ/range/emit math is _prune_query_entries — the
+    same function the fanned-out kernel calls, so the two plans cannot
+    drift."""
+    cross_term = CROSS_TERM_THETA
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "term": pd.Series(dtype="object"),
+                "shard": pd.Series(dtype="int32"),
+                "block_id": pd.Series(dtype="int32"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+        t_np = pdf["term"].to_numpy()
+        first_np = pdf["first_doc"].to_numpy()
+        last_np = pdf["last_doc"].to_numpy()
+        ns_np = pdf["n"].to_numpy()
+        shard_np = pdf["shard"].to_numpy()
+        bid_np = pdf["block_id"].to_numpy()
+        pay_np = pdf["payload"].to_numpy()
+        max_tf = pdf["max_tf"].to_numpy().astype(np.float64)
+        min_dl = pdf["min_dl"].to_numpy().astype(np.float64)
+        min_tf = pdf["min_tf"].to_numpy().astype(np.float64)
+        max_dl = pdf["max_dl"].to_numpy().astype(np.float64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
+        )
+        entries: dict[str, dict] = {}
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            term = t_np[s]
+            idf = float(idfs[term])
+            entry = {
+                "term": term,
+                "shard": shard_np[s:e],
+                "bid": bid_np[s:e],
+            }
+            if pay_np[s] is not None:
+                d, tf, dl = decode_block_rows(
+                    decompress_payloads(list(pay_np[s:e]), codec), ns_np[s:e]
+                )
+                c = idf * _tfpart(
+                    tf.astype(np.float64), dl.astype(np.float64), avgdl
+                )
+                entry["first"] = d
+                entry["last"] = d
+                entry["ub"] = c
+                entry["lb"] = c
+                entry["nb"] = np.ones(d.size, dtype=np.int64)
+                entry["sparse"] = True
+            else:
+                lb = idf * _tfpart(min_tf[s:e], max_dl[s:e], avgdl)
+                entry["first"] = first_np[s:e]
+                entry["last"] = last_np[s:e]
+                entry["ub"] = idf * _tfpart(max_tf[s:e], min_dl[s:e], avgdl)
+                entry["lb"] = lb
+                entry["nb"] = ns_np[s:e]
+                entry["sparse"] = False
+                entry["theta_cand"] = _dense_theta_cand(lb, ns_np[s:e], k)
+            entries[term] = entry
+        outs = []
+        for qid, qterms in sorted(terms_by_q.items()):
+            terms = []
+            sparse_terms = []
+            for t in sorted(set(qterms)):
+                ent = entries.get(t)
+                if ent is None:
+                    continue
+                (sparse_terms if ent["sparse"] else terms).append(ent)
+            if not terms and not sparse_terms:
+                continue
+            out = _prune_query_entries(
+                qid, terms, sparse_terms, k, empty, cross_term
+            )
+            if len(out):
+                outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return fn
+
+
 N_COARSE_RANGES = 32  # coarse ranges per qshard group for the cross-term θ
 # A/B toggle (bench + tests): disable to measure what the per-term/sparse
 # bounds alone prune — the r3 pruner's behavior
@@ -1261,90 +1422,26 @@ def _cross_term_theta(rterms: list[dict], k: int) -> float:
     return float(vals[o][idx])
 
 
-def _prune_one_query(
-    pdf: pd.DataFrame, avgdl: float, k: int, codec: str, decoded_cache: dict,
-    empty: pd.DataFrame, cross_term: bool = True,
+def _prune_query_entries(
+    qid: int,
+    terms: list[dict],
+    sparse_terms: list[dict],
+    k: int,
+    empty: pd.DataFrame,
+    cross_term: bool = True,
 ) -> pd.DataFrame:
-    """Prune one query's blocks within one qshard group (see _make_meta_prune
-    for the math). pdf is pre-sorted by (term, first_doc)."""
-    qid = int(pdf["query_id"].iloc[0])
-    t_np = pdf["term"].to_numpy()
-    idf_np = pdf["idf"].to_numpy().astype(np.float64)
-    first_np = pdf["first_doc"].to_numpy()
-    last_np = pdf["last_doc"].to_numpy()
-    ns_np = pdf["n"].to_numpy()
-    shard_np = pdf["shard"].to_numpy()
-    bid_np = pdf["block_id"].to_numpy()
-    pay_np = (
-        pdf["payload"].to_numpy() if "payload" in pdf.columns
-        else np.full(t_np.size, None, dtype=object)
-    )
-    ub_all = idf_np * _tfpart(
-        pdf["max_tf"].to_numpy().astype(np.float64),
-        pdf["min_dl"].to_numpy().astype(np.float64),
-        avgdl,
-    )
-    lb_all = idf_np * _tfpart(
-        pdf["min_tf"].to_numpy().astype(np.float64),
-        pdf["max_dl"].to_numpy().astype(np.float64),
-        avgdl,
-    )
-    starts = np.concatenate(
-        ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
-    )
-    terms = []          # dense: block-granular entries for range math
-    sparse_terms = []   # sparse: exact per-doc pseudo-blocks
-    seed_docs, seed_scores = [], []
-    theta = -1.0
-    for si in range(starts.size - 1):
-        s, e = int(starts[si]), int(starts[si + 1])
-        entry = {
-            "term": t_np[s],
-            "shard": shard_np[s:e],
-            "bid": bid_np[s:e],
-        }
-        if pay_np[s] is not None:
-            # sparse term: decode now — exact positions + contributions.
-            # Cached across the group's queries: a batch's queries share
-            # terms, and each (term, blocks) decodes once per qshard group
-            ck = (t_np[s], int(shard_np[s]), int(bid_np[s]), e - s)
-            hit = decoded_cache.get(ck)
-            if hit is None:
-                hit = decode_block_rows(
-                    decompress_payloads(list(pay_np[s:e]), codec), ns_np[s:e]
-                )
-                decoded_cache[ck] = hit
-            d, tf, dl = hit
-            c = float(idf_np[s]) * _tfpart(
-                tf.astype(np.float64), dl.astype(np.float64), avgdl
-            )
-            entry["first"] = d
-            entry["last"] = d
-            entry["ub"] = c
-            entry["lb"] = c  # exact — the pseudo-block's bound is its score
-            entry["nb"] = np.ones(d.size, dtype=np.int64)
-            sparse_terms.append(entry)
-            seed_docs.append(d)
-            seed_scores.append(c)
-            continue
-        entry["first"] = first_np[s:e]
-        entry["last"] = last_np[s:e]
-        entry["ub"] = ub_all[s:e]
-        entry["lb"] = lb_all[s:e]
-        entry["nb"] = ns_np[s:e]
-        terms.append(entry)
-        lb = lb_all[s:e]
-        order = np.argsort(-lb, kind="stable")
-        c = np.cumsum(ns_np[s:e][order])
-        if c[-1] >= k:
-            j = int(np.searchsorted(c, k))
-            theta = max(theta, float(lb[order][j]))
-    if seed_docs:
-        sd = np.concatenate(seed_docs)
+    """Prune one query given its per-term entries (dense entries carry
+    block-granular first/last/ub/lb/nb + the per-term θ candidate; sparse
+    entries are exact decoded pseudo-blocks). Shared by the per-query kernel
+    (_prune_one_query) and the distinct-block kernel
+    (_make_meta_prune_shared) — the θ/range/emit math lives exactly once."""
+    theta = max([-1.0] + [float(t["theta_cand"]) for t in terms])
+    if sparse_terms:
+        sd = np.concatenate([t["first"] for t in sparse_terms])
         if sd.size:
             uniq, inv = np.unique(sd, return_inverse=True)
             agg = np.zeros(uniq.size)
-            np.add.at(agg, inv, np.concatenate(seed_scores))
+            np.add.at(agg, inv, np.concatenate([t["ub"] for t in sparse_terms]))
             if uniq.size >= k:
                 theta = max(
                     theta, float(np.partition(agg, uniq.size - k)[uniq.size - k])
@@ -1383,6 +1480,89 @@ def _prune_one_query(
     # only dense blocks need the overlap mask (sparse always ship)
     sur_starts, sur_ends = _range_survivors(terms + sparse_terms, theta)
     return emit([_overlap_mask(t, sur_starts, sur_ends) for t in terms])
+
+
+def _dense_theta_cand(lb: np.ndarray, ns: np.ndarray, k: int) -> float:
+    """Per-term θ candidate: accumulate blocks in descending-lb order until
+    they hold ≥ k docs; the last accepted lb bounds the kth-best score."""
+    order = np.argsort(-lb, kind="stable")
+    c = np.cumsum(ns[order])
+    if c.size and c[-1] >= k:
+        j = int(np.searchsorted(c, k))
+        return float(lb[order][j])
+    return -1.0
+
+
+def _prune_one_query(
+    pdf: pd.DataFrame, avgdl: float, k: int, codec: str, decoded_cache: dict,
+    empty: pd.DataFrame, cross_term: bool = True,
+) -> pd.DataFrame:
+    """Prune one query's blocks within one qshard group (see _make_meta_prune
+    for the math). pdf is pre-sorted by (term, first_doc)."""
+    qid = int(pdf["query_id"].iloc[0])
+    t_np = pdf["term"].to_numpy()
+    idf_np = pdf["idf"].to_numpy().astype(np.float64)
+    first_np = pdf["first_doc"].to_numpy()
+    last_np = pdf["last_doc"].to_numpy()
+    ns_np = pdf["n"].to_numpy()
+    shard_np = pdf["shard"].to_numpy()
+    bid_np = pdf["block_id"].to_numpy()
+    pay_np = (
+        pdf["payload"].to_numpy() if "payload" in pdf.columns
+        else np.full(t_np.size, None, dtype=object)
+    )
+    ub_all = idf_np * _tfpart(
+        pdf["max_tf"].to_numpy().astype(np.float64),
+        pdf["min_dl"].to_numpy().astype(np.float64),
+        avgdl,
+    )
+    lb_all = idf_np * _tfpart(
+        pdf["min_tf"].to_numpy().astype(np.float64),
+        pdf["max_dl"].to_numpy().astype(np.float64),
+        avgdl,
+    )
+    starts = np.concatenate(
+        ([0], np.flatnonzero(t_np[1:] != t_np[:-1]) + 1, [t_np.size])
+    )
+    terms = []          # dense: block-granular entries for range math
+    sparse_terms = []   # sparse: exact per-doc pseudo-blocks
+    for si in range(starts.size - 1):
+        s, e = int(starts[si]), int(starts[si + 1])
+        entry = {
+            "term": t_np[s],
+            "shard": shard_np[s:e],
+            "bid": bid_np[s:e],
+        }
+        if pay_np[s] is not None:
+            # sparse term: decode now — exact positions + contributions.
+            # Cached across the group's queries: a batch's queries share
+            # terms, and each (term, blocks) decodes once per qshard group
+            ck = (t_np[s], int(shard_np[s]), int(bid_np[s]), e - s)
+            hit = decoded_cache.get(ck)
+            if hit is None:
+                hit = decode_block_rows(
+                    decompress_payloads(list(pay_np[s:e]), codec), ns_np[s:e]
+                )
+                decoded_cache[ck] = hit
+            d, tf, dl = hit
+            c = float(idf_np[s]) * _tfpart(
+                tf.astype(np.float64), dl.astype(np.float64), avgdl
+            )
+            entry["first"] = d
+            entry["last"] = d
+            entry["ub"] = c
+            entry["lb"] = c  # exact — the pseudo-block's bound is its score
+            entry["nb"] = np.ones(d.size, dtype=np.int64)
+            sparse_terms.append(entry)
+            continue
+        entry["first"] = first_np[s:e]
+        entry["last"] = last_np[s:e]
+        entry["ub"] = ub_all[s:e]
+        entry["lb"] = lb_all[s:e]
+        entry["nb"] = ns_np[s:e]
+        entry["theta_cand"] = _dense_theta_cand(lb_all[s:e], ns_np[s:e], k)
+        terms.append(entry)
+    return _prune_query_entries(qid, terms, sparse_terms, k, empty, cross_term)
 
 
 

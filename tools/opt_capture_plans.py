@@ -46,8 +46,8 @@ def main() -> None:
     )
     from grenad_spark.query.search import search_topk, search_topk_shared
 
-    idx = IndexHandle("/tmp/opt_idx_large")
-    pidx = IndexHandle("/tmp/opt_idx_pairprox")
+    idx = IndexHandle("/tmp/bench_idx_h_large")
+    pidx = IndexHandle("/tmp/bench_idx_pairprox")
 
     q1 = REFERENCE_QUERIES[2:3]
     dump("bm25_wand_single", search_topk(spark, idx, q1, k=10, mode="wand"))
@@ -78,7 +78,7 @@ def main() -> None:
     dump("proximity_positions_batch8", search_topk_proximity(spark, pidx, prox_qs, k=10))
     dump("proximity_pairdb_batch8", search_topk_proximity_db(spark, pidx, prox_qs, k=10))
 
-    fidx_path = "/tmp/opt_idx_fielded"
+    fidx_path = "/tmp/bench_idx_fielded"
     if os.path.exists(os.path.join(fidx_path, "manifest.json")):
         from grenad_spark.query.ranked import search_topk_ranked
 
