@@ -390,24 +390,20 @@ def _build_index_inner(
     # "which docs does this generation contain" record that compaction's
     # newest-generation-wins tombstone semantics require. The ONLY stage that
     # tokenizes besides the segment build itself.
-    if not _done(docs_path):
-        ts = time.time()
-        from grenad_spark.index.stats import doc_lengths
-
-        # no repartition (an exchange to few partitions made this stage
-        # serialize on 8 writer tasks), but a narrow coalesce to
-        # partitions//4 files: the tokenize still runs on every core (tasks
-        # just process several scan partitions each) while the write emits
-        # 4x fewer files — the docs table is re-scanned by corpus_stats and
-        # every sorted/distinct-attribute serving join, which pay per-file
-        # open cost (guide §6)
-        doc_lengths(docs, tokens_fn=tokens_fn).coalesce(
-            max(1, partitions // 4)
-        ).write.mode("overwrite").parquet(docs_path)
-        stage_secs["docs"] = time.time() - ts
-
-    # stage 2: corpus stats — trivial agg over the docs table (no re-tokenize)
-    if not _done(stats_path):
+    #
+    # OVERLAP (guide §2.6): the segments stage below only depends on the
+    # STATS (n_docs/avgdl/max_doc for shard geometry), not on the docs
+    # parquet — so tokenize once into a small cached (doc_id, dl) table,
+    # grab the stats from it directly, and let the docs + corpus_stats
+    # WRITES run from a background thread while the segments pipeline
+    # already tokenizes: the 2-3 s docs write hides behind the segment
+    # stage's map work. Per-stage _SUCCESS guards keep resume semantics —
+    # a crash mid-overlap just re-runs the unfinished stage.
+    docs_write_fut = None
+    dl_cached = None
+    if _done(docs_path) and not _done(stats_path):
+        # resume path: docs written, stats missing — derive stats from the
+        # parquet instead of re-tokenizing
         ts = time.time()
         spark.read.parquet(docs_path).select(
             F.count("*").cast("long").alias("n_docs"),
@@ -415,7 +411,44 @@ def _build_index_inner(
             F.max("doc_id").cast("long").alias("max_doc"),
         ).coalesce(1).write.mode("overwrite").parquet(stats_path)
         stage_secs["corpus_stats"] = time.time() - ts
-    st = spark.read.parquet(stats_path).first()
+    if not _done(docs_path):
+        ts = time.time()
+        from pyspark.storagelevel import StorageLevel
+
+        from grenad_spark.index.stats import doc_lengths
+
+        dl_cached = doc_lengths(docs, tokens_fn=tokens_fn).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        st = dl_cached.select(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        ).first()
+        stage_secs["docs_stats"] = time.time() - ts
+
+        def _write_docs_and_stats():
+            if not _done(docs_path):
+                # no repartition (an exchange to few partitions made this
+                # stage serialize on 8 writer tasks), but a narrow coalesce
+                # to partitions//4 files: 4x fewer files for every reader
+                # that re-scans the docs table (guide §6)
+                dl_cached.coalesce(
+                    max(1, partitions // 4)
+                ).write.mode("overwrite").parquet(docs_path)
+            if not _done(stats_path):
+                spark.createDataFrame(
+                    [(int(st["n_docs"]), float(st["avgdl"]), int(st["max_doc"]))],
+                    "n_docs long, avgdl double, max_doc long",
+                ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        _docs_pool = ThreadPoolExecutor(max_workers=1)
+        docs_write_fut = _docs_pool.submit(_write_docs_and_stats)
+        stage_secs["docs"] = 0.0  # overlapped; settled when the future joins
+    else:
+        st = spark.read.parquet(stats_path).first()
     n_docs, avgdl, max_doc = st["n_docs"], st["avgdl"], st["max_doc"]
     if n_shards is None:
         # docs_per_shard is a MEMORY bound (grenad dump_threshold), not a
@@ -558,6 +591,16 @@ def _build_index_inner(
             enc = futs[2].result()
         segments.unpersist()
         stage_secs["segments_finalize"] = time.time() - ts
+    if docs_write_fut is not None:
+        # join the overlapped docs/stats writes; the recorded time is only
+        # the non-hidden tail (usually ~0 — the write finished while the
+        # segments pipeline ran)
+        ts = time.time()
+        docs_write_fut.result()
+        _docs_pool.shutdown()
+        dl_cached.unpersist()
+        docs_write_fut = None
+        stage_secs["docs"] = round(time.time() - ts, 3)
     segments = spark.read.parquet(seg_path)
 
     # stage 3 (resume path): term_dict (vocabulary-sized) + aux tables from

@@ -995,17 +995,71 @@ def _search_pruned(
         spark, index, n_queries, _est_postings(spark, index, pairs)
     )
 
-    # explicit broadcast: the survivor list is the small side BY DESIGN
-    # (pruning selected it); relying on AQE instead costs stage
-    # materialization barriers (~0.5 s/batch measured). When a corpus/query
-    # mix prunes nothing, survivors ≈ all query-term blocks and callers
-    # should serve with mode='wand' instead — or use search_topk_auto,
-    # which measures the survivor ratio per batch and picks.
+    # survivor attach: a SUPERSET of the pass-1 survivors is always exact —
+    # the scoring kernel re-derives its own θ and extra blocks only add
+    # correctly-scored candidates — so a small survivor set collects to the
+    # driver and comes back as ONE packed-key SQL IN literal (hashed InSet,
+    # no broadcast build/ship, no join). The packed key drops the term
+    # (query_id·2⁴⁰ + shard·2²⁰ + block_id): a colliding block of another
+    # query term ships too, which is exactly the harmless-superset case.
+    # Oversized survivor sets (or out-of-range components) keep the
+    # broadcast hash join — AQE alone would cost stage barriers
+    # (~0.5 s/batch measured). When a corpus/query mix prunes nothing,
+    # callers should serve with mode='wand' instead — or search_topk_auto.
     if survivors is None:
         survivors = survivor_blocks(spark, index, pairs, kk)
-    survivors = F.broadcast(survivors)
     blocks, _ = _query_blocks_from_pairs(spark, index, pairs)
-    pruned = blocks.join(survivors, ["query_id", "term", "shard", "block_id"])
+    # pass 1 materializes exactly ONCE (eager localCheckpoint — the
+    # search_topk_auto pattern); the attach then adapts: a SMALL survivor
+    # set collects and comes back as one packed-key SQL IN literal (hashed
+    # InSet, no broadcast build/ship, no join; supersets are exact — the
+    # kernel re-derives θ), larger sets broadcast the checkpointed rows
+    # (no recompute). The literal cap is ANALYSIS-bound: a 33k-element IN
+    # built 33k literal tree nodes before the InSet conversion and doubled
+    # the batch (measured) — small sets only.
+    pruned = None
+    bs = int(index.manifest.get("block_size") or 128)
+    dfm = index.df_map(spark)
+    est_blocks = (
+        sum(-(-dfm[t] // bs) for q, t in set(pairs) if t in dfm)
+        if dfm is not None
+        else None
+    )
+    if (
+        est_blocks is not None
+        and est_blocks <= 2048
+        and int(index.n_shards) < (1 << 20)
+    ):
+        # the upper bound on survivors is already literal-sized, so pass 1
+        # materializes via ONE collect and comes back as the packed-key IN
+        srows = survivors.select("query_id", "shard", "block_id").collect()
+        if not srows:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        if all(
+            0 <= r["query_id"] < (1 << 23) and 0 <= r["block_id"] < (1 << 20)
+            for r in srows
+        ):
+            keys = sorted(
+                {
+                    (int(r["query_id"]) << 40)
+                    | (int(r["shard"]) << 20)
+                    | int(r["block_id"])
+                    for r in srows
+                }
+            )
+            pruned = blocks.filter(
+                F.expr(
+                    "shiftleft(CAST(query_id AS BIGINT), 40) + "
+                    "shiftleft(CAST(shard AS BIGINT), 20) + block_id IN "
+                    f"({','.join(map(str, keys))})"
+                )
+            )
+    if pruned is None:
+        # big/unknown survivor sets: the original lazy broadcast — pass 1
+        # runs once inside the broadcast build, zero extra jobs
+        pruned = blocks.join(
+            F.broadcast(survivors), ["query_id", "term", "shard", "block_id"]
+        )
     per_shard = _grouped_apply(
         pruned.select(
             "query_id",
@@ -1783,12 +1837,36 @@ def search_topk_shared(
 
     seg = index.segments(spark).filter(F.col("term").isin(terms))
     if prune and "min_tf" in seg.columns:
-        surv = F.broadcast(
-            survivor_blocks(spark, index, pairs, kk)
-            .select("term", "shard", "block_id")
-            .distinct()
-        )
-        seg = seg.join(surv, ["term", "shard", "block_id"])
+        # pass 1 runs exactly ONCE (the collect); the attach is rebuilt
+        # from the collected rows either way. A SUPERSET of the survivors
+        # is exact here (every shipped block is scored exhaustively for all
+        # queries sharing its term), so the literal key can drop both
+        # query_id and term — (shard, block_id) collisions just ship the
+        # harmless extra block once.
+        surv_df = survivor_blocks(spark, index, pairs, kk)
+        bs = int(index.manifest.get("block_size") or 128)
+        est_blocks = sum(-(-dfm[t] // bs) for t in terms if t in dfm)
+        attached = False
+        if int(index.n_shards) < (1 << 20) and est_blocks <= 2048:
+            srows = surv_df.select("shard", "block_id").collect()
+            if not srows:
+                return spark.createDataFrame([], _OUT_SCHEMA)
+            if all(0 <= r["block_id"] < (1 << 20) for r in srows):
+                keys = sorted(
+                    {(int(r["shard"]) << 20) | int(r["block_id"]) for r in srows}
+                )
+                seg = seg.filter(
+                    F.expr(
+                        "shiftleft(CAST(shard AS BIGINT), 20) + block_id IN "
+                        f"({','.join(map(str, keys))})"
+                    )
+                )
+                attached = True
+        if not attached:
+            surv = F.broadcast(
+                surv_df.select("term", "shard", "block_id").distinct()
+            )
+            seg = seg.join(surv, ["term", "shard", "block_id"])
     blocks = seg.select(
         (F.col("shard") / g).cast("int").alias("qshard"),
         "term", "n", "payload",
